@@ -1,0 +1,401 @@
+"""Pure-numpy replacements for the cv2 kernels the reference relies on.
+
+Each function reproduces the *semantics* the reference needs (gate
+decisions, geometry, determinism) without OpenCV, which is absent in this
+environment.  Where the exact cv2 algorithm is impractical in numpy
+(fastNlMeansDenoising, INTER_CUBIC) we substitute a deterministic
+equivalent (3x3 median, bilinear) — both the Spark pipeline and the
+single-process oracle share these kernels, so span-sequence equality is
+unaffected, and all threshold/gate semantics are preserved exactly.
+
+Reference counterparts:
+  to_gray ............. cv2.cvtColor RGB2GRAY (analyzer.py:41, grayscale.py:42-63)
+  box_mean ............ cv2.blur (analyzer.py:113-114)
+  laplacian_var ....... cv2.Laplacian(...).var() (analyzer.py:95-103)
+  estimate_noise ...... local-variance method (analyzer.py:105-121)
+  sobel_edges ......... cv2.Canny stand-in for edge masks (analyzer.py:130,223,236)
+  hough_skew .......... cv2.HoughLines near-horizontal median (analyzer.py:123-155)
+  otsu/binarize_* ..... cv2.threshold OTSU / adaptiveThreshold (binarization.py:59-86)
+  median3 ............. fastNlMeansDenoising stand-in (noise_removal.py:33-53)
+  normalize_minmax .... cv2.normalize NORM_MINMAX (normalization.py:36-50)
+  resize_bilinear ..... cv2.resize (scaling.py:55-69)
+  rotate_expand ....... cv2.warpAffine w/ expanded bbox (deskew.py:46-96,
+                        processor.py:244-279)
+  dilate .............. cv2.dilate (components.py:171-172)
+  connected_components  cv2.connectedComponentsWithStats (components.py:175-191)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# color / basic stats
+# --------------------------------------------------------------------------
+
+_GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """RGB(A) -> gray uint8 with the standard ITU-R BT.601 weights."""
+    if img.ndim == 2:
+        return img
+    rgb = img[..., :3].astype(np.float64)
+    gray = rgb @ _GRAY_W
+    return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
+
+
+def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
+    """k x k moving average with replicate borders (float in/out)."""
+    pad = k // 2
+    padded = np.pad(img_f, pad, mode="edge").astype(np.float64)
+    # integral image trick: one cumsum per axis
+    cs = padded.cumsum(axis=0)
+    cs = np.vstack([np.zeros((1, cs.shape[1])), cs])
+    rows = cs[k:, :] - cs[:-k, :]
+    cs2 = rows.cumsum(axis=1)
+    cs2 = np.hstack([np.zeros((cs2.shape[0], 1)), cs2])
+    summed = cs2[:, k:] - cs2[:, :-k]
+    return summed / (k * k)
+
+
+def laplacian_var(gray: np.ndarray) -> float:
+    """Variance of the 4-neighbour Laplacian (sharpness score, A1)."""
+    g = gray.astype(np.float64)
+    p = np.pad(g, 1, mode="edge")
+    lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
+    return float(lap.var())
+
+
+def estimate_noise(gray: np.ndarray) -> float:
+    """Median local std-dev over 5x5 windows, normalized by 50, clamped [0,1] (A2)."""
+    g = gray.astype(np.float64)
+    mean = box_mean(g, 5)
+    sq_mean = box_mean(g * g, 5)
+    variance = sq_mean - mean * mean
+    noise = float(np.median(np.sqrt(np.abs(variance))))
+    return min(1.0, noise / 50.0)
+
+
+def _sobel(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    g = gray.astype(np.float64)
+    p = np.pad(g, 1, mode="edge")
+    gx = (
+        (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])
+    )
+    gy = (
+        (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])
+    )
+    return gx, gy
+
+
+def sobel_edges(gray: np.ndarray, thresh: float = 200.0) -> np.ndarray:
+    """Boolean edge mask from 3x3 Sobel gradient magnitude (Canny stand-in)."""
+    gx, gy = _sobel(gray)
+    return np.hypot(gx, gy) > thresh
+
+
+def hough_skew(
+    gray: np.ndarray,
+    theta_window_deg: float = 20.0,
+    theta_step_deg: float = 0.25,
+    rho_step: float = 3.0,
+    max_points: int = 12000,
+    min_count: int = 20,
+    _precomputed: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> float:
+    """Hough-transform skew estimate in degrees (A3).
+
+    Accumulates near-horizontal edge points (gradient mostly vertical, so
+    text-line tops/bottoms dominate and the glyph lattice's vertical edges
+    don't cross-talk) over a fine theta grid and returns the
+    intensity-weighted angle around the accumulator peak — the same
+    edges -> HoughLines -> near-horizontal angle scheme as
+    /root/reference/app/ocr/preprocessing/analyzer.py:123-155.  The sign is
+    chosen so that `rotate_expand(img, -hough_skew(img))` levels the image.
+    """
+    if _precomputed is not None:
+        mag, gx, gy = _precomputed
+    else:
+        gx, gy = _sobel(gray)
+        mag = np.hypot(gx, gy)
+    horiz = (mag > 200.0) & (np.abs(gy) > 1.5 * np.abs(gx))
+    ys, xs = np.nonzero(horiz)
+    n = xs.size
+    if n < min_count:
+        return 0.0
+    if n > max_points:
+        step = n // max_points + 1
+        xs, ys = xs[::step], ys[::step]
+
+    thetas_deg = np.arange(
+        90.0 - theta_window_deg, 90.0 + theta_window_deg + 1e-9, theta_step_deg
+    )
+    thetas = np.deg2rad(thetas_deg)
+    cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+
+    # rho for every (point, theta); bin into a per-theta accumulator
+    rho = xs[:, None].astype(np.float64) * cos_t[None, :] + ys[
+        :, None
+    ].astype(np.float64) * sin_t[None, :]
+    diag = float(np.hypot(gray.shape[0], gray.shape[1]))
+    nbins = int(2 * diag / rho_step) + 3
+    bins = np.rint((rho + diag) / rho_step).astype(np.int64)
+    np.clip(bins, 0, nbins - 1, out=bins)
+    flat = bins + np.arange(len(thetas), dtype=np.int64)[None, :] * nbins
+    acc = np.bincount(flat.ravel(), minlength=len(thetas) * nbins).reshape(
+        len(thetas), nbins
+    )
+
+    # strength of the best line at each orientation
+    per_theta = acc.max(axis=1).astype(np.float64)
+    peak = float(per_theta.max())
+    if peak < min_count:
+        return 0.0
+    # center-of-mass refinement over the near-peak plateau
+    strong = per_theta >= 0.85 * peak
+    est = float(np.average(thetas_deg[strong], weights=per_theta[strong]))
+    return -(est - 90.0)
+
+
+# --------------------------------------------------------------------------
+# thresholding
+# --------------------------------------------------------------------------
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's threshold over the 256-bin histogram."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    omega = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256))
+    mu_t = mu[-1]
+    w0 = omega
+    w1 = total - omega
+    valid = (w0 > 0) & (w1 > 0)
+    between = np.zeros(256)
+    between[valid] = (mu_t * w0[valid] - total * mu[valid]) ** 2 / (
+        w0[valid] * w1[valid]
+    )
+    return int(np.argmax(between))
+
+
+def binarize_otsu(gray: np.ndarray, invert: bool = False) -> np.ndarray:
+    """cv2.threshold(..., THRESH_BINARY[+_INV] | THRESH_OTSU) equivalent."""
+    t = otsu_threshold(gray)
+    if invert:
+        return np.where(gray > t, 0, 255).astype(np.uint8)
+    return np.where(gray > t, 255, 0).astype(np.uint8)
+
+
+def binarize_adaptive(gray: np.ndarray, c: float = 11.0) -> np.ndarray:
+    """Adaptive mean thresholding, block size = clamp(min(w,h)//20, 11..101)|odd.
+
+    Reference uses ADAPTIVE_THRESH_GAUSSIAN_C with the same block-size rule
+    (binarization.py:69-86); a box mean is the deterministic equivalent here.
+    """
+    h, w = gray.shape
+    block = max(11, min(101, min(w, h) // 20))
+    if block % 2 == 0:
+        block += 1
+    local = box_mean(gray.astype(np.float64), block)
+    return np.where(gray.astype(np.float64) > local - c, 255, 0).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# filtering / geometry
+# --------------------------------------------------------------------------
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter (salt-and-pepper denoise stand-in)."""
+    if img.ndim == 3:
+        return np.stack([median3(img[..., c]) for c in range(img.shape[2])], axis=-1)
+    p = np.pad(img, 1, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(3) for dx in range(3)],
+        axis=0,
+    )
+    stack.sort(axis=0)
+    return stack[4]
+
+
+def normalize_minmax(img: np.ndarray) -> np.ndarray:
+    """Stretch intensities to the full 0..255 range (T5)."""
+    f = img.astype(np.float64)
+    lo, hi = float(f.min()), float(f.max())
+    if hi <= lo:
+        return img.copy()
+    out = (f - lo) * (255.0 / (hi - lo))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def invert(img: np.ndarray) -> np.ndarray:
+    """255 - pixel (T2)."""
+    return (255 - img.astype(np.int16)).astype(np.uint8)
+
+
+def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Bilinear resize with cv2-style half-pixel centers (separable)."""
+    h, w = img.shape[:2]
+    if (new_w, new_h) == (w, h):
+        return img.copy()
+    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)
+
+    f = img.astype(np.float32)
+    # pass 1: horizontal (h x new_w), pass 2: vertical (new_h x new_w)
+    if img.ndim == 2:
+        row = f.take(x0, axis=1) * (1 - wx)[None, :] + f.take(x1, axis=1) * wx[None, :]
+        out = row.take(y0, axis=0) * (1 - wy)[:, None] + row.take(y1, axis=0) * wy[:, None]
+    else:
+        wxc = wx[None, :, None]
+        wyc = wy[:, None, None]
+        row = f.take(x0, axis=1) * (1 - wxc) + f.take(x1, axis=1) * wxc
+        out = row.take(y0, axis=0) * (1 - wyc) + row.take(y1, axis=0) * wyc
+    return (out + 0.5).astype(np.uint8)
+
+
+def rotate_expand(img: np.ndarray, angle_deg: float, bg: int = 255) -> np.ndarray:
+    """Rotate about the center into an expanded bounding box, bg-filled.
+
+    Matches the geometry of the reference deskew (rotation matrix about
+    (w//2, h//2), new size h*|sin|+w*|cos| x h*|cos|+w*|sin|, constant
+    border — deskew.py:60-96 / processor.py:244-279) with bilinear sampling.
+    """
+    h, w = img.shape[:2]
+    theta = np.deg2rad(angle_deg)
+    cos_a, sin_a = np.cos(theta), np.sin(theta)
+    new_w = int(h * abs(sin_a) + w * abs(cos_a))
+    new_h = int(h * abs(cos_a) + w * abs(sin_a))
+
+    cx, cy = w // 2, h // 2
+    # forward map (cv2.getRotationMatrix2D convention: positive = CCW in
+    # image coords) plus the center shift into the expanded canvas
+    tx = cx + (new_w - w) / 2.0
+    ty = cy + (new_h - h) / 2.0
+    # inverse map: dst -> src
+    dx = np.arange(new_w, dtype=np.float64) - tx
+    dy = np.arange(new_h, dtype=np.float64) - ty
+    gx = dx[None, :] * cos_a - dy[:, None] * sin_a + cx
+    gy = dx[None, :] * sin_a + dy[:, None] * cos_a + cy
+
+    x0 = np.floor(gx).astype(np.int64)
+    y0 = np.floor(gy).astype(np.int64)
+    wx = gx - x0
+    wy = gy - y0
+    inside = (gx >= 0) & (gx <= w - 1) & (gy >= 0) & (gy <= h - 1)
+    x0c = np.clip(x0, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+
+    def _sample(ch: np.ndarray) -> np.ndarray:
+        f = ch.astype(np.float64)
+        v = (
+            f[y0c, x0c] * (1 - wx) * (1 - wy)
+            + f[y0c, x1c] * wx * (1 - wy)
+            + f[y1c, x0c] * (1 - wx) * wy
+            + f[y1c, x1c] * wx * wy
+        )
+        v = np.where(inside, v, float(bg))
+        return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+
+    if img.ndim == 2:
+        return _sample(img)
+    return np.stack([_sample(img[..., c]) for c in range(img.shape[2])], axis=-1)
+
+
+def dilate(mask: np.ndarray, k: int = 5, iterations: int = 2) -> np.ndarray:
+    """Binary dilation with a k x k square kernel (separable max filter)."""
+    out = mask.astype(bool)
+    pad = k // 2
+    for _ in range(iterations):
+        p = np.pad(out, ((pad, pad), (0, 0)), mode="constant")
+        out = np.logical_or.reduce([p[i : i + out.shape[0], :] for i in range(k)])
+        p = np.pad(out, ((0, 0), (pad, pad)), mode="constant")
+        out = np.logical_or.reduce([p[:, i : i + out.shape[1]] for i in range(k)])
+    return out
+
+
+def connected_components(mask: np.ndarray, min_area: int = 0):
+    """8-connected component bounding boxes via row-run union-find.
+
+    Returns a list of (x, y, w, h, area) tuples, insertion-ordered by the
+    first row each component appears in — the stats the reference pulls
+    from cv2.connectedComponentsWithStats (components.py:175-191).
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    run_rows: list[tuple[int, int, int, int]] = []  # (y, start, end, label)
+    prev: list[tuple[int, int, int]] = []  # (start, end, label) half-open
+    m = mask.astype(np.int8)
+    for y in range(h):
+        row = m[y]
+        diff = np.diff(np.concatenate(([0], row, [0])))
+        starts = np.flatnonzero(diff == 1)
+        ends = np.flatnonzero(diff == -1)
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts, ends):
+            label = -1
+            # 8-connectivity between half-open runs [s,e) on adjacent rows:
+            # touching (incl. diagonals) iff s <= prev_end and prev_start <= e
+            for ps, pe, pl in prev:
+                if ps <= e and s <= pe:
+                    if label == -1:
+                        label = find(pl)
+                    else:
+                        union(label, pl)
+            if label == -1:
+                label = len(parent)
+                parent.append(label)
+            cur.append((int(s), int(e), label))
+            run_rows.append((y, int(s), int(e), label))
+            pi += 1
+        prev = cur
+
+    stats: dict[int, list[int]] = {}  # root -> [minx, miny, maxx, maxy, area]
+    order: list[int] = []
+    for y, s, e, l in run_rows:
+        r = find(l)
+        st = stats.get(r)
+        if st is None:
+            stats[r] = [s, y, e - 1, y, e - s]
+            order.append(r)
+        else:
+            if s < st[0]:
+                st[0] = s
+            if e - 1 > st[2]:
+                st[2] = e - 1
+            st[3] = y
+            st[4] += e - s
+
+    out = []
+    for r in order:
+        minx, miny, maxx, maxy, area = stats[r]
+        if area >= min_area:
+            out.append((minx, miny, maxx - minx + 1, maxy - miny + 1, area))
+    return out
