@@ -61,10 +61,12 @@ def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
 
 def laplacian_var(gray: np.ndarray) -> float:
     """Variance of the 4-neighbour Laplacian (sharpness score, A1)."""
-    g = gray.astype(np.float64)
+    g = gray.astype(np.float32)
     p = np.pad(g, 1, mode="edge")
     lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
-    return float(lap.var())
+    # variance accumulated in float64 — float32 image values are exact,
+    # only the reduction needs the precision
+    return float(lap.var(dtype=np.float64))
 
 
 def estimate_noise(gray: np.ndarray) -> float:
@@ -78,7 +80,9 @@ def estimate_noise(gray: np.ndarray) -> float:
 
 
 def _sobel(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    g = gray.astype(np.float64)
+    # float32: the gradients only feed >200 / 1.5x-ratio threshold tests,
+    # and halving the temp footprint matters on 2 MP pages
+    g = gray.astype(np.float32)
     p = np.pad(g, 1, mode="edge")
     gx = (
         (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
@@ -136,10 +140,13 @@ def hough_skew(
     thetas = np.deg2rad(thetas_deg)
     cos_t, sin_t = np.cos(thetas), np.sin(thetas)
 
-    # rho for every (point, theta); bin into a per-theta accumulator
-    rho = xs[:, None].astype(np.float64) * cos_t[None, :] + ys[
+    # rho for every (point, theta); bin into a per-theta accumulator.
+    # float32 is exact enough for 3 px rho bins on page-sized coordinates.
+    cos_t = cos_t.astype(np.float32)
+    sin_t = sin_t.astype(np.float32)
+    rho = xs[:, None].astype(np.float32) * cos_t[None, :] + ys[
         :, None
-    ].astype(np.float64) * sin_t[None, :]
+    ].astype(np.float32) * sin_t[None, :]
     diag = float(np.hypot(gray.shape[0], gray.shape[1]))
     nbins = int(2 * diag / rho_step) + 3
     bins = np.rint((rho + diag) / rho_step).astype(np.int64)
@@ -284,14 +291,15 @@ def rotate_expand(img: np.ndarray, angle_deg: float, bg: int = 255) -> np.ndarra
     # image coords) plus the center shift into the expanded canvas
     tx = cx + (new_w - w) / 2.0
     ty = cy + (new_h - h) / 2.0
-    # inverse map: dst -> src
-    dx = np.arange(new_w, dtype=np.float64) - tx
-    dy = np.arange(new_h, dtype=np.float64) - ty
-    gx = dx[None, :] * cos_a - dy[:, None] * sin_a + cx
-    gy = dx[None, :] * sin_a + dy[:, None] * cos_a + cy
+    # inverse map: dst -> src (float32 meshes — page coords fit exactly)
+    dx = np.arange(new_w, dtype=np.float32) - np.float32(tx)
+    dy = np.arange(new_h, dtype=np.float32) - np.float32(ty)
+    cos_a32, sin_a32 = np.float32(cos_a), np.float32(sin_a)
+    gx = dx[None, :] * cos_a32 - dy[:, None] * sin_a32 + np.float32(cx)
+    gy = dx[None, :] * sin_a32 + dy[:, None] * cos_a32 + np.float32(cy)
 
-    x0 = np.floor(gx).astype(np.int64)
-    y0 = np.floor(gy).astype(np.int64)
+    x0 = np.floor(gx).astype(np.int32)
+    y0 = np.floor(gy).astype(np.int32)
     wx = gx - x0
     wy = gy - y0
     inside = (gx >= 0) & (gx <= w - 1) & (gy >= 0) & (gy <= h - 1)
@@ -301,7 +309,7 @@ def rotate_expand(img: np.ndarray, angle_deg: float, bg: int = 255) -> np.ndarra
     y1c = np.clip(y0 + 1, 0, h - 1)
 
     def _sample(ch: np.ndarray) -> np.ndarray:
-        f = ch.astype(np.float64)
+        f = ch.astype(np.float32)
         v = (
             f[y0c, x0c] * (1 - wx) * (1 - wy)
             + f[y0c, x1c] * wx * (1 - wy)

@@ -1,0 +1,167 @@
+"""Resumable bucketed execution with a per-partition checkpoint manifest.
+
+The reference's crash-recovery contract is Redis job state + stale-job
+cleanup (/root/reference/app/services/job_service.py:47-78,186-228);
+restated for batch Spark (SURVEY.md §4.3): the doc space is hashed into
+`n_buckets` ranges; each bucket's output commits to its own parquet dir,
+then a manifest row commits atomically (tmp + rename). A restarted run
+anti-joins the manifest and re-executes only missing buckets, so the
+%-redone-work after a mid-run kill is bounded by one bucket.
+
+Within a bucket Spark's own task retry (`spark.task.maxFailures`)
+handles transient failures; the manifest handles driver death. Attempt
+numbers come from `.inprogress` markers left behind by crashed runs —
+the analog of the reference's stale-`processing` sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.spark.pipeline import run_pipeline
+
+MANIFEST_DIR = "_manifest"
+
+
+def bucket_expr(n_buckets: int):
+    """Deterministic doc -> bucket hash (the resume partition key)."""
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR)
+
+
+def completed_buckets(out_dir: str) -> dict[int, dict]:
+    """bucket -> manifest row for every committed bucket."""
+    mdir = _manifest_path(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, dict] = {}
+    for name in os.listdir(mdir):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                row = json.load(f)
+            out[int(row["bucket"])] = row
+    return out
+
+
+def _commit_manifest(out_dir: str, row: dict) -> None:
+    """Atomic manifest commit: data is already durable, then tmp+rename.
+    A crash between the two leaves the bucket uncommitted -> it reruns
+    idempotently (overwrite mode)."""
+    mdir = _manifest_path(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"bucket-{row['bucket']:05d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(row, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+def _attempt_number(out_dir: str, bucket: int) -> int:
+    """1 + number of prior uncommitted starts of this bucket."""
+    marker = os.path.join(_manifest_path(out_dir), f"bucket-{bucket:05d}.inprogress")
+    os.makedirs(_manifest_path(out_dir), exist_ok=True)
+    attempt = 1
+    if os.path.exists(marker):
+        with open(marker) as f:
+            try:
+                attempt = int(f.read().strip() or "0") + 1
+            except ValueError:
+                attempt = 2
+    with open(marker, "w") as f:
+        f.write(str(attempt))
+    return attempt
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    media_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 8,
+    profile: str = "default",
+    mode: str = "fused",
+    max_buckets: int | None = None,
+    **pipeline_kw,
+) -> dict:
+    """Process all not-yet-committed buckets; returns a run report.
+
+    `max_buckets` caps how many buckets this invocation processes — the
+    test hook for simulating a mid-run kill."""
+    done = completed_buckets(out_dir)
+    processed = []
+    skipped = sorted(done)
+    t_start = time.time()
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        if max_buckets is not None and len(processed) >= max_buckets:
+            break
+        attempt = _attempt_number(out_dir, b)
+        sub = docs_df.filter(bucket_expr(n_buckets) == b)
+        result = run_pipeline(
+            spark,
+            sub,
+            media_df,
+            profile=profile,
+            mode=mode,
+            run_id=run_id,
+            attempt=attempt,
+            **pipeline_kw,
+        )
+        bucket_path = os.path.join(out_dir, f"bucket={b}")
+        t0 = time.time()
+        result.write.mode("overwrite").parquet(bucket_path)
+        stats = (
+            spark.read.parquet(bucket_path)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("metrics.n_spans").alias("n_spans"),
+                F.sum("metrics.skipped").alias("n_skipped"),
+            )
+            .collect()[0]
+        )
+        _commit_manifest(
+            out_dir,
+            {
+                "run_id": run_id,
+                "bucket": b,
+                "n_buckets": n_buckets,
+                "attempt": attempt,
+                "n_docs": int(stats["n_docs"] or 0),
+                "n_spans": int(stats["n_spans"] or 0),
+                "n_skipped": int(stats["n_skipped"] or 0),
+                "elapsed_s": round(time.time() - t0, 3),
+                "profile": profile,
+                "mode": mode,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+        processed.append(b)
+    return {
+        "run_id": run_id,
+        "processed_buckets": processed,
+        "skipped_buckets": skipped,
+        "n_buckets": n_buckets,
+        "elapsed_s": round(time.time() - t_start, 3),
+        "complete": len(completed_buckets(out_dir)) == n_buckets,
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all committed bucket outputs."""
+    done = completed_buckets(out_dir)
+    paths = [os.path.join(out_dir, f"bucket={b}") for b in sorted(done)]
+    if not paths:
+        raise FileNotFoundError(f"no committed buckets under {out_dir}")
+    return spark.read.parquet(*paths)

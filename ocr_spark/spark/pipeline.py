@@ -1,0 +1,348 @@
+"""The distributed extraction plan (SURVEY.md §3.4).
+
+    read documents (+ media join)            [scan, column pruning]
+    explode_outer(spans) -> branch on kind   [Filter/Project]
+      text:  Catalyst boilerplate expression [zero Python]
+      media/pdf: join media -> span-salted repartition
+                 -> fused OR staged Arrow UDF stages
+    union branches
+    repartition(doc_id)                      [explicit, north_rule]
+    groupBy(doc_id) reassembly agg           [pure Catalyst]
+
+Skew: heavy docs never pin a task because parallelism is at span (fused)
+or chunk (staged) granularity — the repartition key is (doc_id, offset),
+i.e. the doc's own fan-out is the salt. Reassembly regroups by pure
+doc_id hash; collect_list of small text structs is cheap even for a
+500-span doc, and Spark's partial (ObjectHashAggregate) pre-merge runs
+map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.config import EngineProfile, get_profile
+from ocr_spark.spark import schemas as S
+from ocr_spark.spark.stages import (
+    make_extract_stage,
+    make_fused_extract,
+    make_merge_group,
+    make_pdf_fanout,
+    make_split_stage,
+)
+from ocr_spark.spark.text_branch import main_content_col
+
+MEDIA_KINDS = ("media", "pdf")
+
+
+def _span_rows(docs_df: DataFrame) -> DataFrame:
+    """explode_outer keeps empty-spans docs as a null-kind row so the doc
+    still appears in the output with spans=[] (FIXTURES.md edge case)."""
+    return docs_df.select(
+        "doc_id", F.explode_outer("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _finish_branch(df: DataFrame) -> DataFrame:
+    cols = [f.name for f in S.SPAN_RESULT_SCHEMA.fields]
+    return df.select(*cols)
+
+
+def _text_branch(spans: DataFrame) -> DataFrame:
+    """kind='text' -> boilerplate strip, entirely JVM-side."""
+    return _finish_branch(
+        spans.filter(F.col("kind") == "text").select(
+            "doc_id",
+            "kind",
+            main_content_col(F.col("text")).alias("text"),
+            "media_ref",
+            "offset",
+            F.lit(0.0).alias("confidence"),
+            F.array().cast("array<string>").alias("steps_applied"),
+            F.lit("none").alias("split_method"),
+            F.lit(False).alias("skipped"),
+            F.lit(0).cast("long").alias("elapsed_ms"),
+        )
+    )
+
+
+def _other_branch(spans: DataFrame) -> DataFrame:
+    """Unknown kinds count as skipped, never crash (core.py else-branch)."""
+    return _finish_branch(
+        spans.filter(
+            F.col("kind").isNotNull()
+            & ~F.col("kind").isin("text", *MEDIA_KINDS)
+        ).select(
+            "doc_id",
+            "kind",
+            F.lit("").alias("text"),
+            "media_ref",
+            "offset",
+            F.lit(0.0).alias("confidence"),
+            F.array().cast("array<string>").alias("steps_applied"),
+            F.lit("none").alias("split_method"),
+            F.lit(True).alias("skipped"),
+            F.lit(0).cast("long").alias("elapsed_ms"),
+        )
+    )
+
+
+def _empty_doc_branch(spans: DataFrame) -> DataFrame:
+    return _finish_branch(
+        spans.filter(F.col("kind").isNull()).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(None).cast("int").alias("offset"),
+            F.lit(0.0).alias("confidence"),
+            F.array().cast("array<string>").alias("steps_applied"),
+            F.lit(None).cast("string").alias("split_method"),
+            F.lit(False).alias("skipped"),
+            F.lit(0).cast("long").alias("elapsed_ms"),
+        )
+    )
+
+
+def _media_input(
+    spans: DataFrame,
+    media_df: DataFrame,
+    broadcast_media: bool | None,
+    span_partitions: int | None,
+) -> DataFrame:
+    m = media_df.select("media_ref", "png")
+    if broadcast_media:
+        m = F.broadcast(m)
+    joined = (
+        spans.filter(F.col("kind").isin(*MEDIA_KINDS))
+        .join(m, "media_ref", "left")
+        .select("doc_id", "kind", "media_ref", "offset", "png")
+    )
+    # span-level salt: a skew-monster doc's spans spread over the cluster.
+    # Explicit partition count — AQE coalesces by *bytes*, but this stage's
+    # cost is compute per image, so byte-based coalescing recreates skew.
+    return joined.repartition(span_partitions, "doc_id", "offset")
+
+
+def _media_branch_fused(media_in: DataFrame, profile: EngineProfile) -> DataFrame:
+    out = media_in.mapInPandas(make_fused_extract(profile), S.SPAN_RESULT_SCHEMA)
+    return _finish_branch(out)
+
+
+def _media_branch_staged(
+    media_in: DataFrame,
+    profile: EngineProfile,
+    chunk_partitions: int | None,
+) -> DataFrame:
+    pages = media_in.mapInPandas(make_pdf_fanout(profile), S.PAGE_SCHEMA)
+    chunks = pages.mapInPandas(make_split_stage(profile), S.CHUNK_SCHEMA)
+    # chunk-level rebalance: a 16-chunk page / 500-page pdf spreads out
+    chunks = chunks.repartition(
+        chunk_partitions, "doc_id", "offset", "page_idx", "row", "col"
+    )
+    chunk_texts = chunks.mapInPandas(make_extract_stage(profile), S.CHUNK_TEXT_SCHEMA)
+    page_texts = chunk_texts.groupBy("doc_id", "offset", "page_idx").applyInPandas(
+        make_merge_group(profile), S.PAGE_TEXT_SCHEMA
+    )
+
+    # page fan-in per span (M7 page markers) — pure Catalyst
+    pages_agg = page_texts.groupBy("doc_id", "offset", "kind", "media_ref").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("page_idx").alias("page_idx"),
+                    F.col("n_pages").alias("n_pages"),
+                    F.col("text").alias("text"),
+                    F.col("confidence").alias("confidence"),
+                    F.col("steps_applied").alias("steps_applied"),
+                    F.col("split_method").alias("split_method"),
+                )
+            )
+        ).alias("pages"),
+        F.max(F.col("skipped").cast("int")).alias("any_skipped"),
+    )
+    real = F.filter(F.col("pages"), lambda p: p["page_idx"] >= 0)
+    page_text = F.when(
+        F.col("kind") == "pdf",
+        F.array_join(
+            F.transform(
+                real,
+                lambda p: F.concat(
+                    F.lit("=== Page "),
+                    (p["page_idx"] + 1).cast("string"),
+                    F.lit(" of "),
+                    p["n_pages"].cast("string"),
+                    F.lit(" ===\n"),
+                    p["text"],
+                ),
+            ),
+            "\n\n",
+        ),
+    ).otherwise(F.element_at(F.col("pages"), 1)["text"])
+    conf = F.when(
+        F.size(real) > 0,
+        F.aggregate(real, F.lit(0.0), lambda acc, p: acc + p["confidence"])
+        / F.size(real),
+    ).otherwise(F.lit(0.0))
+    steps = F.array_sort(
+        F.array_distinct(F.flatten(F.transform(real, lambda p: p["steps_applied"])))
+    )
+    method = F.when(
+        F.col("kind") == "pdf",
+        F.when(
+            F.size(real) > 0,
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.transform(real, lambda p: p["split_method"]))
+                ),
+                ",",
+            ),
+        ).otherwise(F.lit("none")),
+    ).otherwise(F.element_at(F.col("pages"), 1)["split_method"])
+
+    out = pages_agg.select(
+        "doc_id",
+        "kind",
+        page_text.alias("text"),
+        "media_ref",
+        "offset",
+        conf.alias("confidence"),
+        steps.alias("steps_applied"),
+        method.alias("split_method"),
+        (F.col("any_skipped") > 0).alias("skipped"),
+        F.lit(0).cast("long").alias("elapsed_ms"),
+    )
+    return _finish_branch(out)
+
+
+def reassemble(span_results: DataFrame, run_id: str, attempt: int,
+               doc_partitions: int | None = None) -> DataFrame:
+    """groupBy(doc_id) span-order reassembly + metrics (M7/M9) — pure
+    Catalyst, after an explicit repartition by doc_id hash (north_rule)."""
+    if doc_partitions:
+        df = span_results.repartition(doc_partitions, "doc_id")
+    else:
+        df = span_results.repartition("doc_id")
+
+    is_media = F.col("kind").isin(*MEDIA_KINDS)
+    ok_media = is_media & ~F.col("skipped")
+    agg = df.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kind").isNotNull(),
+                    F.struct(
+                        F.col("offset").alias("offset"),
+                        F.col("kind").alias("kind"),
+                        F.col("text").alias("text"),
+                        F.col("media_ref").alias("media_ref"),
+                    ),
+                )
+            )
+        ).alias("_spans"),
+        F.sum(F.when(F.col("kind").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_spans"),
+        F.sum(F.coalesce(is_media.cast("int"), F.lit(0)))
+        .cast("int")
+        .alias("n_media"),
+        F.sum(F.coalesce((F.col("kind") == "text").cast("int"), F.lit(0)))
+        .cast("int")
+        .alias("n_text"),
+        F.sum(F.col("skipped").cast("int")).cast("int").alias("skipped"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.when(ok_media, F.col("steps_applied")))
+                )
+            )
+        ).alias("steps_applied"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(ok_media, F.col("split_method")))
+            )
+        ).alias("split_methods"),
+        F.coalesce(
+            F.avg(F.when(ok_media, F.col("confidence"))), F.lit(0.0)
+        ).alias("ocr_confidence"),
+        F.sum(F.coalesce(F.col("elapsed_ms"), F.lit(0))).alias("elapsed_ms"),
+    )
+    return agg.select(
+        "doc_id",
+        F.transform(
+            "_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+        F.struct(
+            F.col("n_spans").alias("n_spans"),
+            F.col("n_media").alias("n_media"),
+            F.col("n_text").alias("n_text"),
+            F.col("skipped").alias("skipped"),
+            F.col("steps_applied").alias("steps_applied"),
+            F.col("split_methods").alias("split_methods"),
+            F.col("ocr_confidence").alias("ocr_confidence"),
+            F.col("elapsed_ms").alias("elapsed_ms"),
+        ).alias("metrics"),
+        F.struct(
+            F.lit(run_id).alias("run_id"),
+            F.spark_partition_id().alias("partition_id"),
+            F.lit(attempt).alias("attempt"),
+            F.current_timestamp().alias("ts"),
+        ).alias("lineage"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    media_df: DataFrame,
+    profile: EngineProfile | str = "default",
+    mode: str = "fused",
+    run_id: str = "run-0",
+    attempt: int = 1,
+    span_partitions: int | None = None,
+    chunk_partitions: int | None = None,
+    doc_partitions: int | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """documents + media -> extracted (EXTRACTED_SCHEMA).
+
+    mode='fused'  — one Arrow stage per span (fewest shuffles).
+    mode='staged' — pdf/split/extract/merge stages with chunk-level
+                    rebalance (heavy-doc skew path).
+    """
+    if isinstance(profile, str):
+        profile = get_profile(profile)
+    # Heavy-compute stages want many small tasks: per-image cost varies by
+    # ~100x (a clean 0.15 MP page vs a 2 MP split+merge page), so default
+    # to 4 tasks per core and let the scheduler even it out.
+    default_parts = spark.sparkContext.defaultParallelism * 4
+    span_partitions = span_partitions or default_parts
+    chunk_partitions = chunk_partitions or default_parts
+    spans = _span_rows(docs_df)
+    media_in = _media_input(spans, media_df, broadcast_media, span_partitions)
+    if mode == "fused":
+        media_out = _media_branch_fused(media_in, profile)
+    elif mode == "staged":
+        media_out = _media_branch_staged(media_in, profile, chunk_partitions)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    union = (
+        _text_branch(spans)
+        .unionByName(media_out)
+        .unionByName(_other_branch(spans))
+        .unionByName(_empty_doc_branch(spans))
+    )
+    return reassemble(union, run_id, attempt, doc_partitions)

@@ -1,0 +1,124 @@
+"""End-to-end distributed-pipeline tests: span-sequence equality between
+the Spark plan (fused and staged physical modes) and the single-process
+oracle (the BASELINE.json input_hint invariant), plus metrics parity and
+checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.spark.corpus import read_corpus
+from ocr_spark.spark.pipeline import run_pipeline
+
+
+def _spans_tuple(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def assert_equals_oracle(rows_by_doc, oracle_extracted):
+    assert set(rows_by_doc) == set(oracle_extracted)
+    for doc_id, (ospans, ometrics) in oracle_extracted.items():
+        r = rows_by_doc[doc_id]
+        # the headline invariant: exact (kind, text, media_ref, order)
+        assert _spans_tuple(r["spans"]) == _spans_tuple(ospans), doc_id
+        m = r["metrics"]
+        assert m["n_spans"] == ometrics["n_spans"], doc_id
+        assert m["n_media"] == ometrics["n_media"], doc_id
+        assert m["n_text"] == ometrics["n_text"], doc_id
+        assert m["skipped"] == ometrics["skipped"], doc_id
+        assert list(m["steps_applied"]) == ometrics["steps_applied"], doc_id
+        assert list(m["split_methods"]) == ometrics["split_methods"], doc_id
+        assert m["ocr_confidence"] == pytest.approx(
+            ometrics["ocr_confidence"], abs=1e-9
+        ), doc_id
+
+
+@pytest.mark.parametrize("mode", ["fused", "staged"])
+def test_pipeline_matches_oracle(spark, corpus_dir, oracle_extracted, mode):
+    docs, media = read_corpus(spark, corpus_dir)
+    out = run_pipeline(
+        spark, docs, media, mode=mode, run_id=f"t-{mode}", span_partitions=16
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert_equals_oracle(rows, oracle_extracted)
+    # lineage is attached and run-scoped
+    any_row = next(iter(rows.values()))
+    assert any_row["lineage"]["run_id"] == f"t-{mode}"
+    assert any_row["lineage"]["attempt"] == 1
+
+
+def test_resume_skips_committed_buckets(
+    spark, corpus_dir, oracle_extracted, tmp_path
+):
+    from ocr_spark.spark.checkpoint import (
+        completed_buckets,
+        read_extracted,
+        run_extraction_job,
+    )
+
+    docs, media = read_corpus(spark, corpus_dir)
+    out_dir = str(tmp_path / "extracted")
+
+    # first run dies after 2 of 4 buckets (simulated driver kill)
+    r1 = run_extraction_job(
+        spark, docs, media, out_dir, run_id="r1", n_buckets=4, max_buckets=2,
+        span_partitions=8,
+    )
+    assert len(r1["processed_buckets"]) == 2
+    assert not r1["complete"]
+    assert set(completed_buckets(out_dir)) == set(r1["processed_buckets"])
+
+    # resume: only the remaining buckets run, nothing is recomputed
+    r2 = run_extraction_job(
+        spark, docs, media, out_dir, run_id="r2", n_buckets=4,
+        span_partitions=8,
+    )
+    assert r2["complete"]
+    assert set(r2["skipped_buckets"]) == set(r1["processed_buckets"])
+    assert set(r2["processed_buckets"]).isdisjoint(r1["processed_buckets"])
+
+    final = read_extracted(spark, out_dir)
+    rows = {r["doc_id"]: r for r in final.collect()}
+    assert_equals_oracle(rows, oracle_extracted)
+    # resumed buckets carry the original run_id — they were not re-run
+    run_ids = {r["lineage"]["run_id"] for r in rows.values()}
+    assert run_ids == {"r1", "r2"}
+
+
+def test_profile_qari_rtl(spark, oracle_extracted):
+    """The RTL/qari profile flows through both sides identically."""
+    from ocr_spark.core import process_document
+    from ocr_spark.fixtures import build_corpus
+    from ocr_spark.spark.schemas import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+
+    docs, media = build_corpus(n_docs=8, skew_monster_spans=4)
+    lookup = {m["media_ref"]: m["png"] for m in media}
+    oracle = {
+        d["doc_id"]: process_document(
+            d["doc_id"], d["spans"], lambda r: lookup.get(r), profile="qari"
+        )
+        for d in docs
+    }
+    docs_df = spark.createDataFrame(
+        [
+            (
+                d["doc_id"],
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in d["spans"]
+                ],
+            )
+            for d in docs
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], m["png"], m["width"], m["height"]) for m in media],
+        schema=MEDIA_SCHEMA,
+    )
+    out = run_pipeline(
+        spark, docs_df, media_df, profile="qari", mode="fused", span_partitions=8
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for doc_id, (ospans, _om) in oracle.items():
+        assert _spans_tuple(rows[doc_id]["spans"]) == _spans_tuple(ospans), doc_id
