@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "extraction": {"docs": N, "spans": N, "docs_per_sec": ..., "spans_per_sec": ...}}
+
+--scaling additionally runs the extraction job at local[N] and
+local[4N] (N = cpus/4) with a warmup pass each and reports throughput
+at both plus efficiency = (T_N / T_4N) / 4 — the sandbox proxy for the
+north_rule's two-cluster-size criterion (no real cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = {"sf0.001": 60, "sf0.01": 120, "sf0.1": 240}
+WARMUP_DOCS = 16
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _corpus(n_docs: int, skew: int = 24) -> str:
+    import tempfile
+
+    from ocr_spark.spark.corpus import write_corpus_parquet
+
+    d = os.path.join(tempfile.gettempdir(), f"ocr_spark_bench_n{n_docs}_s{skew}")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        write_corpus_parquet(d, n_docs=n_docs, skew_monster_spans=skew)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _extraction_stats(corpus_dir: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(corpus_dir, "documents.parquet"), columns=["spans"])
+    spans = sum(len(x) for x in tbl.column("spans").to_pylist())
+    return tbl.num_rows, spans
+
+
+def _run_extraction(spark, corpus_dir: str, mode: str) -> float:
+    from ocr_spark.spark.corpus import read_corpus
+    from ocr_spark.spark.pipeline import run_pipeline
+
+    docs, media = read_corpus(spark, corpus_dir)
+    t0 = time.time()
+    run_pipeline(spark, docs, media, mode=mode, run_id=f"bench-{mode}").count()
+    return time.time() - t0
+
+
+def _warmup(spark) -> None:
+    """Warm python workers (imports + heap) AND the JVM's execution
+    memory: in this sandbox first-touch page faults run at ~5 MB/s, so
+    the first shuffle/aggregate pays a large one-time tax unless a
+    warmup query faults the heap first."""
+    from ocr_spark.functions import all_queries
+
+    _run_extraction(spark, _corpus(WARMUP_DOCS, skew=8), "fused")
+    specs = all_queries()
+    warm_sf = "/root/testdata/sf0.001"
+    for name in ("dedup_minhash_lsh", "dedup_exact", "events_rollup"):
+        specs[name].fn(spark, warm_sf).count()
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    from ocr_spark.functions import all_queries
+    from ocr_spark.spark.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", app_name="ocr-spark-bench",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
+
+    n_docs = BENCH_DOCS.get(os.path.basename(sf_dir.rstrip("/")), 60)
+    corpus = _corpus(n_docs)
+    docs_n, spans_n = _extraction_stats(corpus)
+
+    queries: dict[str, float] = {}
+    t_ex = _run_extraction(spark, corpus, "fused")
+    queries["extract_fused"] = round(t_ex, 3)
+    queries["extract_staged"] = round(_run_extraction(spark, corpus, "staged"), 3)
+
+    headline = [
+        "text_boilerplate",
+        "text_token_stats",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_cosine_topk",
+        "embedding_ann_lsh",
+        "events_sessionize",
+        "events_span_reassembly",
+        "tpch_revenue_by_nation",
+    ]
+    specs = all_queries()
+    for name in headline:
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "extraction+ops suite wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(sf_dir),
+        "extraction": {
+            "docs": docs_n,
+            "spans": spans_n,
+            "docs_per_sec": round(docs_n / t_ex, 3),
+            "spans_per_sec": round(spans_n / t_ex, 3),
+        },
+    }
+
+
+def run_scaling(sf_dir: str, cpus: int) -> dict:
+    """Same extraction job at local[N] and local[4N] (N = cpus // 4)."""
+    from ocr_spark.spark.session import get_spark
+
+    n_small = max(1, cpus // 4)
+    n_docs = BENCH_DOCS.get(os.path.basename(sf_dir.rstrip("/")), 60)
+    corpus = _corpus(n_docs)
+    docs_n, spans_n = _extraction_stats(corpus)
+    results = {}
+    for n in (n_small, cpus):
+        spark = get_spark(f"local[{n}]", app_name=f"ocr-spark-scale-{n}",
+                          shuffle_partitions=n)
+        spark.sparkContext.setLogLevel("ERROR")
+        _warmup(spark)
+        t = _run_extraction(spark, corpus, "fused")
+        results[n] = t
+        spark.stop()
+    t_small, t_big = results[n_small], results[cpus]
+    ratio = cpus // n_small
+    eff = (t_small / t_big) / ratio
+    return {
+        "cores_small": n_small,
+        "cores_big": cpus,
+        "docs": docs_n,
+        "spans": spans_n,
+        "sec_small": round(t_small, 3),
+        "sec_big": round(t_big, 3),
+        "docs_per_sec_small": round(docs_n / t_small, 3),
+        "docs_per_sec_big": round(docs_n / t_big, 3),
+        "spans_per_sec_small": round(spans_n / t_small, 3),
+        "spans_per_sec_big": round(spans_n / t_big, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        out = run_scaling(sf_dir, cpus)
+        out["metric"] = "extraction scaling N->4N"
+        out["unit"] = "sec"
+        out["value"] = out["sec_big"]
+        out["sf"] = _sf_of(sf_dir)
+    else:
+        out = run_suite(sf_dir, cpus)
+        if "--with-scaling" in sys.argv:
+            out["scaling"] = run_scaling(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Training-data pipeline operators over the driver's parquet tables.
+
+Each module exposes ``QUERIES: dict[name, QuerySpec]`` where a QuerySpec
+pairs a Spark builder ``fn(spark, sf_dir) -> DataFrame`` with the
+equivalent DuckDB oracle SQL (or None for rows-only checks). Spark
+expressions and oracle SQL are generated from the *same* Python
+constants (hash seeds, stopword lists, hyperplanes, regex patterns) so
+the two engines cannot drift.
+
+Cross-engine float determinism rules used throughout:
+* never compare raw float SUMs — double addition is order-dependent and
+  Spark/DuckDB aggregate in different orders. Money/value sums round
+  each term to an integer quantum first (exact int64 sums both sides).
+* single-value float ops (divide, multiply, cosine of one pair) are
+  bit-identical IEEE ops; round(x, 6) guards the hash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None -> rows-only check
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from ocr_spark.functions import dedup, relational, similarity, textops
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (textops, dedup, similarity, relational):
+        overlap = set(out) & set(mod.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out

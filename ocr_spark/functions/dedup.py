@@ -1,0 +1,280 @@
+"""Deduplication operators: exact (hash groupBy), MinHash+LSH banding,
+and SimHash — the dedup family of a training-data pipeline, over the
+flat `documents` table.
+
+MinHash/SimHash signatures are built from md5 (available and identical
+in Spark and DuckDB), with the "minimum" taken lexicographically over
+hex strings so both engines agree without any 64-bit integer plumbing.
+The banding scheme is the standard LSH construction: H hashes split
+into B bands of R rows; docs sharing any band value become candidate
+pairs, then exact Jaccard over distinct shingles confirms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import QuerySpec, load
+
+MINHASH_H = 12  # hash functions
+MINHASH_R = 3  # rows per band
+MINHASH_B = MINHASH_H // MINHASH_R  # 4 bands
+SHINGLE_W = 3  # word n-gram width
+SIMHASH_BITS = 32
+SIMHASH_BAND_SHIFT = 24  # candidate pairs share the top 8 bits
+
+_NORM = ("lower(text)", lambda c: F.lower(c))
+
+
+def _tokens_col():
+    return F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != F.lit(""))
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+
+def _shingles_col():
+    toks = _tokens_col()
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_W - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_W)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= SHINGLE_W, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+_SHINGLES_SQL = f"""list_distinct(
+  CASE WHEN len({_TOKENS_SQL}) >= {SHINGLE_W}
+       THEN list_transform(range(1, len({_TOKENS_SQL}) - {SHINGLE_W - 2}),
+                           i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2])
+       ELSE [array_to_string({_TOKENS_SQL}, ' ')]
+  END)"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).cast("binary")
+    )
+    return (
+        docs.groupBy(norm_hash.alias("norm_hash"))
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS canonical_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", _shingles_col().alias("shingles"))
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s).cast("binary")),
+            )
+        ).alias(f"sig{h}")
+        for h in range(MINHASH_H)
+    ]
+    sig_df = sh.select("doc_id", "shingles", *sigs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig{b * MINHASH_R + r}") for r in range(MINHASH_R)]
+                ).cast("binary")
+            ).alias("band_val"),
+        )
+        for b in range(MINHASH_B)
+    ]
+    bands = sig_df.select(
+        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "shingles", "band.band_id", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(1.0))
+    return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS sig{h}"
+        for h in range(MINHASH_H)
+    )
+    band_rows = ", ".join(
+        "{{'band_id': {b}, 'band_val': md5({parts})}}".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig{b * MINHASH_R + r}" for r in range(MINHASH_R)
+            ),
+        )
+        for b in range(MINHASH_B)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, shingles,
+         {sig_cols}
+  FROM sh
+), bands AS (
+  SELECT doc_id, shingles, u.band_id AS band_id, u.band_val AS band_val
+  FROM sig, unnest([{band_rows}]) AS t(u)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+                  THEN len(list_intersect(sh_a, sh_b))
+                       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+                  ELSE 1.0 END, 6) AS jaccard
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def _tok_hash32():
+    """Cross-engine 32-bit token hash: first 8 md5 hex chars as an int."""
+    return F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("tok")).select(
+        "doc_id", _tok_hash32().alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"), *bit_sums)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        simhash.cast("long").alias("simhash"),
+        F.shiftright(simhash.cast("long"), SIMHASH_BAND_SHIFT).alias("band_hi"),
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(u.t), 1, 8))::BIGINT AS h
+  FROM documents, unnest({_TOKENS_SQL}) AS u(t)
+), s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ({simhash}) AS simhash,
+       (({simhash}) >> {SIMHASH_BAND_SHIFT}) AS band_hi
+FROM s
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash", "band_hi")
+    a, b = sim.alias("a"), sim.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_hi") == F.col("b.band_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql()
+    return f"""
+WITH sim AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b
+  ON a.band_hi = b.band_hi AND a.doc_id < b.doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _minhash_sql()),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
+    "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
+}

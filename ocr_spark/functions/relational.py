@@ -1,0 +1,205 @@
+"""Relational/stream-shaped operators over `events` and the TPC-H-ish
+tables: sessionization, time-bucketed rollups, the span-reassembly
+aggregation pattern (M7 restated over a SQL-checkable table), and a
+broadcast-join revenue rollup.
+
+Float discipline: value sums use the per-term-integer-quantum pattern
+(CAST(ROUND(v * 1000) AS BIGINT) summed) so Spark's and DuckDB's
+different aggregation orders cannot produce different hashes — integer
+sums are exact in any order. Timestamps are formatted to strings so
+both engines hash identical representations (session TZ is UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocr_spark.functions import QuerySpec, load
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    new_s = F.when(
+        F.lag(sec).over(w).isNull() | ((sec - F.lag(sec).over(w)) > SESSION_GAP_S),
+        1,
+    ).otherwise(0)
+    per_event = ev.select(
+        "user_id",
+        new_s.alias("new_s"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    return per_event.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.sum("value_milli").alias("value_millis"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s,
+         CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_events, sum(new_s) AS n_sessions,
+       sum(value_milli) AS value_millis
+FROM x GROUP BY user_id
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            "user_id",
+            F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("value_milli").alias("value_millis"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(round(value * 1000, 0) AS BIGINT)) AS value_millis
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reassembly aggregation (groupBy -> array_sort of
+    (order-key, payload) structs -> ordered sequence), restated over
+    `events` so DuckDB can verify the exact operator semantics that
+    ocr_spark.spark.pipeline.reassemble uses for spans."""
+    ev = load(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                )
+            )
+        ),
+        lambda x: x["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(seq, "|").alias("event_seq"),
+    )
+
+
+SQL_SPAN_REASSEMBLY = """
+SELECT user_id, count(*) AS n_events,
+       array_to_string(array_agg(event_type ORDER BY ts, event_id), '|') AS event_seq
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dimensions — the
+    plan a 100 TB fact scan wants (no shuffle of lineitem for the dims)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.sum(rev_cents).alias("revenue_cents"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       count(*) AS n_lineitems,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate: top-3 parts per brand by shipped quantity."""
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("total_qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("total_qty").desc(), F.col("p_partkey")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            "total_qty",
+            "rnk",
+        )
+    )
+
+
+SQL_TOP_PARTS_BY_BRAND = """
+WITH agg AS (
+  SELECT p.p_brand, p.p_partkey,
+         sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS total_qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, p_partkey, total_qty,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY total_qty DESC, p_partkey) AS rnk
+  FROM agg
+)
+SELECT p_brand AS brand, p_partkey AS partkey, total_qty, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+QUERIES = {
+    "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
+    "events_rollup": QuerySpec(q_rollup, SQL_ROLLUP),
+    "events_span_reassembly": QuerySpec(q_span_reassembly, SQL_SPAN_REASSEMBLY),
+    "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "tpch_top_parts_by_brand": QuerySpec(
+        q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND
+    ),
+}

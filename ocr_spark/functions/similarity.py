@@ -1,0 +1,227 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+float[64], label): brute-force cosine top-k as the exactness baseline,
+and a random-hyperplane LSH-bucketed variant as the scale path.
+
+Cosine is computed as an explicit left fold (zip -> multiply -> add) in
+BOTH engines so the floating-point operation sequence is identical and
+round(x, 6) hashes equal. Hyperplanes are md5-derived ±1 vectors
+generated in Python and inlined as literals into both the Spark plan
+and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import QuerySpec, load
+
+DIM = 64
+N_PLANES = 8
+TOPK = 10
+LSH_TOPK = 5
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(plane:dim)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — same op order as the SQL oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k
+# --------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # the query side is tiny (n/QUERY_MOD rows) — broadcast it so the scan
+    # of the full embedding table never shuffles
+    joined = load(spark, sf_dir, "embeddings").join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qe', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH buckets + bucketed ANN
+# --------------------------------------------------------------------------
+
+
+def _bucket_col() -> Column:
+    planes = hyperplanes()
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col("embedding"), lit_plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        out = out + bit
+    return out
+
+
+def _bucket_sql(emb: str) -> str:
+    planes = hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", _bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+SQL_LSH_BUCKETS = f"""
+SELECT {_bucket_sql('embedding')} AS bucket,
+       count(*) AS n_vecs,
+       min(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_col().alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    # candidates co-located by bucket: at scale this is a bucket-key join,
+    # not a cross join — the whole point of the LSH path
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qe', 'e.embedding')} AS cos_sim
+  FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {LSH_TOPK}
+"""
+
+
+QUERIES = {
+    "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
+    "embedding_ann_lsh": QuerySpec(q_ann_lsh, SQL_ANN_LSH),
+}

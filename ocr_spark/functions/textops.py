@@ -1,0 +1,282 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting, and the boilerplate classifier over the flat
+`documents` table — the text branch of a training-data pipeline.
+
+All run as pure Catalyst expressions (whole-stage codegen, no Python);
+every query has a DuckDB oracle generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import QuerySpec, load
+from ocr_spark.spark.text_branch import is_boilerplate_col
+from ocr_spark.textproc.boilerplate import STOPWORDS
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+PUNCT_PATTERN = "[^a-zA-Z0-9\\s]"
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": "the and of to in is it you that he was for on are with as his they be at".split(),
+    "de": "der die das und ist ich nicht mit sich auf den im eine als auch es an werden aus er".split(),
+    "fr": "le la les et des en un une du est pour que qui dans ce il au ne se pas".split(),
+    "es": "el los las y de en un una es por que no con para su al lo como pero sus".split(),
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break preference
+
+
+def _ws_tokens(col):
+    return F.filter(F.split(col, "\\s+"), lambda w: w != F.lit(""))
+
+
+# --------------------------------------------------------------------------
+# token stats
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    ltoks = _ws_tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN)).alias("re_tokens"),
+        F.size(F.array_distinct(ltoks)).alias("distinct_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS re_tokens,
+       len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     w -> w != ''))) AS distinct_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_SW_LIST = sorted(STOPWORDS)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in _SW_LIST])
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    n_punct = F.regexp_count(F.col("text"), F.lit(PUNCT_PATTERN))
+    n_chars = F.length("text")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words.cast("double")).otherwise(0.0)
+    punct_density = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(0.0)
+    score = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * (1.0 - punct_density)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_density, 6).alias("punct_density"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _SW_LIST) + "]"
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) AS n_stop,
+         len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
+         length(text) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_density,
+       round(0.4 * (CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+           + 0.3 * least(1.0, n_words / 100.0)
+           + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)), 6)
+         AS quality_score
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# language identification (stopword-vote heuristic)
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dtoks = F.array_distinct(_ws_tokens(F.lower(F.col("text"))))
+    hits = {
+        lang: F.size(
+            F.array_intersect(dtoks, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"{lang}_hits")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # argmax with LANG_ORDER preference; zero hits everywhere -> 'und'
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        cond = hits[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = hits[lang] >= hits[other] if LANG_ORDER.index(lang) < LANG_ORDER.index(other) else hits[lang] > hits[other]
+            cond = cond & op
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[hits[lang] for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+
+
+def _lang_sql() -> str:
+    hit_cols = ",\n         ".join(
+        "len(list_intersect(dtoks, ["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"])) AS {lang}_hits"
+        for lang in LANG_ORDER
+    )
+    cases = []
+    for lang in LANG_ORDER:
+        conds = [f"{lang}_hits > 0"]
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">=" if LANG_ORDER.index(lang) < LANG_ORDER.index(other) else ">"
+            conds.append(f"{lang}_hits {op} {other}_hits")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> w != '')) AS dtoks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       {case_sql} AS lang_pred
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling 8-gram hash + sketch)
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        lambda i: F.md5(F.substring(norm, i, 8).cast("binary")),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.array_min(grams).alias("min_gram_hash"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(grams)), 1, 8), "").alias(
+            "sketch8"
+        ),
+    )
+
+
+SQL_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id, norm,
+         list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                        i -> md5(substr(norm, i, 8))) AS grams
+  FROM t
+)
+SELECT doc_id,
+       md5(norm) AS norm_hash,
+       list_min(grams) AS min_gram_hash,
+       array_to_string(list_sort(list_distinct(grams))[1:8], '') AS sketch8
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# boilerplate strip (the engine's text branch over flat documents)
+# --------------------------------------------------------------------------
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blocks = F.split(F.col("text"), "\n\n")
+    keep = lambda b: (~b.rlike("^\\s*$")) & (~is_boilerplate_col(b))  # noqa: E731
+    kept = F.filter(blocks, keep)
+    return docs.select(
+        "doc_id",
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.array_join(kept, "\n\n").cast("binary")).alias("main_text_hash"),
+    )
+
+
+def _boilerplate_sql() -> str:
+    punct = """[.,;:!?"''()]"""  # doubled single-quote for SQL literal
+    link = "https?://|(^|\\W)www\\."
+    bp = f"""(
+      len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) = 0
+      OR (len(list_filter(string_split_regex(b, '\\s+'),
+                          w -> w != '' AND regexp_matches(lower(w), '{link}')))
+          / CAST(len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) AS DOUBLE)) >= 0.25
+      OR regexp_matches(b, '^\\s*(©|\\(c\\)|copyright\\b)', 'i')
+      OR (len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) <= 6
+          AND (len(list_filter(string_split_regex(b, '\\s+'),
+                   w -> w != '' AND list_contains({_SW_SQL},
+                        regexp_replace(lower(w), '^{punct}+|{punct}+$', 'g'))))
+               / CAST(len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) AS DOUBLE)) <= 0.2
+          AND NOT regexp_matches(b, '[.!?]\\s*$'))
+    )"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\n\\n') AS blocks FROM documents
+), k AS (
+  SELECT doc_id, blocks,
+         list_filter(blocks, b -> NOT regexp_matches(b, '^\\s*$') AND NOT {bp}) AS kept
+  FROM t
+)
+SELECT doc_id,
+       len(blocks) AS n_blocks,
+       len(kept) AS n_kept,
+       md5(array_to_string(kept, chr(10) || chr(10))) AS main_text_hash
+FROM k
+"""
+
+
+QUERIES = {
+    "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    "text_quality": QuerySpec(q_quality, SQL_QUALITY),
+    "text_lang_id": QuerySpec(q_lang_id, _lang_sql()),
+    "text_fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
+    "text_boilerplate": QuerySpec(q_boilerplate, _boilerplate_sql()),
+}
