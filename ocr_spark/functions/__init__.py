@@ -34,10 +34,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from ocr_spark.functions import dedup, relational, similarity, textops
+    from ocr_spark.functions import (
+        dedup,
+        extractops,
+        relational,
+        similarity,
+        textops,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (textops, dedup, similarity, relational):
+    for mod in (textops, dedup, similarity, relational, extractops):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

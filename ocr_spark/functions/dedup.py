@@ -90,7 +90,14 @@ GROUP BY 1
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # explicit repartition: the signature projection is compute-heavy
+    # (H md5s per shingle) on tiny bytes — AQE's byte-based coalescing
+    # would serialize it onto a handful of tasks otherwise
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    )
     sh = docs.select("doc_id", _shingles_col().alias("shingles"))
     sigs = [
         F.array_min(
@@ -113,9 +120,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MINHASH_B)
     ]
+    # bands carry only (doc_id, band) — the shingle arrays stay out of
+    # the self-join shuffle and come back via two joins on the (tiny)
+    # candidate-pair set, which AQE broadcasts
     bands = sig_df.select(
-        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "shingles", "band.band_id", "band.band_val")
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_val")
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -129,15 +139,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(1.0))
-    return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
 def _minhash_sql() -> str:
@@ -193,7 +204,11 @@ def _tok_hash32():
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    )
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("tok")).select(
         "doc_id", _tok_hash32().alias("h")
     )

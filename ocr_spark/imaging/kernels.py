@@ -247,7 +247,13 @@ def invert(img: np.ndarray) -> np.ndarray:
 
 
 def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """Bilinear resize with cv2-style half-pixel centers (separable)."""
+    """Bilinear resize with cv2-style half-pixel centers (separable).
+
+    The vertical pass runs in output-row strips so no float temp exceeds
+    ~16 MB: allocations above glibc's 32 MiB mmap-threshold cap bypass
+    the reusable heap and pay first-touch page faults on every call in
+    this sandbox (they are also cache-unfriendly everywhere else).
+    """
     h, w = img.shape[:2]
     if (new_w, new_h) == (w, h):
         return img.copy()
@@ -264,13 +270,27 @@ def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     # pass 1: horizontal (h x new_w), pass 2: vertical (new_h x new_w)
     if img.ndim == 2:
         row = f.take(x0, axis=1) * (1 - wx)[None, :] + f.take(x1, axis=1) * wx[None, :]
-        out = row.take(y0, axis=0) * (1 - wy)[:, None] + row.take(y1, axis=0) * wy[:, None]
-    else:
-        wxc = wx[None, :, None]
-        wyc = wy[:, None, None]
-        row = f.take(x0, axis=1) * (1 - wxc) + f.take(x1, axis=1) * wxc
-        out = row.take(y0, axis=0) * (1 - wyc) + row.take(y1, axis=0) * wyc
-    return (out + 0.5).astype(np.uint8)
+        out = np.empty((new_h, new_w), dtype=np.uint8)
+        step = max(1, (16 << 20) // (4 * new_w))
+        for s in range(0, new_h, step):
+            e = min(s + step, new_h)
+            strip = (
+                row.take(y0[s:e], axis=0) * (1 - wy[s:e])[:, None]
+                + row.take(y1[s:e], axis=0) * wy[s:e][:, None]
+            )
+            out[s:e] = (strip + 0.5).astype(np.uint8)
+        return out
+    wxc = wx[None, :, None]
+    ch = img.shape[2]
+    row = f.take(x0, axis=1) * (1 - wxc) + f.take(x1, axis=1) * wxc
+    out = np.empty((new_h, new_w, ch), dtype=np.uint8)
+    step = max(1, (16 << 20) // (4 * new_w * ch))
+    for s in range(0, new_h, step):
+        e = min(s + step, new_h)
+        wyc = wy[s:e][:, None, None]
+        strip = row.take(y0[s:e], axis=0) * (1 - wyc) + row.take(y1[s:e], axis=0) * wyc
+        out[s:e] = (strip + 0.5).astype(np.uint8)
+    return out
 
 
 def rotate_expand(img: np.ndarray, angle_deg: float, bg: int = 255) -> np.ndarray:

@@ -64,6 +64,9 @@ def _commit_manifest(out_dir: str, row: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final)
+    marker = os.path.join(mdir, f"bucket-{row['bucket']:05d}.inprogress")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def _attempt_number(out_dir: str, bucket: int) -> int:

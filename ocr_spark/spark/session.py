@@ -61,7 +61,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # modest heap: in this sandbox first-touch faults are ~5 MB/s, so
+        # the tax is bounded by max heap actually touched — keep it small
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
