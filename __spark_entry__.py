@@ -52,7 +52,10 @@ def _extract_query(mode: str):
 
         corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
         docs, media = read_corpus(spark, corpus)
-        out = run_pipeline(spark, docs, media, mode=mode, run_id=f"q-{mode}")
+        out = run_pipeline(
+            spark, docs, media, mode=mode, run_id=f"q-{mode}",
+            docs_path=os.path.join(corpus, "documents.parquet"),
+        )
         # flatten to scalar columns (driver-hashable shape)
         return out.select(
             "doc_id", F.explode_outer("spans").alias("span")

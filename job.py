@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.profile,
         mode=args.mode,
         max_buckets=args.max_buckets,
+        docs_path=args.input,
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
     )

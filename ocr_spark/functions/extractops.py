@@ -184,8 +184,65 @@ def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(image_stats_udf, IMAGE_STATS_SCHEMA)
 
 
+def q_media_quality_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A8 as a queryable table: one analyzer pass per image, metrics
+    exported for corpus-level aggregation (SURVEY.md §2.4)."""
+    import pandas as pd
+
+    from __spark_entry__ import _corpus_docs_for, _fixture_corpus_dir
+
+    corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+
+    def fn(batches):
+        from ocr_spark.config import PreprocessConfig
+        from ocr_spark.imaging.analyzer import analyze_quality
+        from ocr_spark.imaging.png import decode_png
+
+        cfg = PreprocessConfig()
+        cols = [
+            "media_ref", "width", "height", "is_grayscale", "blur_score",
+            "noise_level", "skew_angle", "contrast_ratio", "brightness",
+            "estimated_dpi", "has_text", "is_inverted",
+        ]
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                try:
+                    img = decode_png(bytes(r.png))
+                except Exception:  # noqa: BLE001 — non-image payloads skipped
+                    continue
+                a = analyze_quality(img, cfg)
+                rows.append(
+                    {
+                        "media_ref": r.media_ref,
+                        "width": a.width,
+                        "height": a.height,
+                        "is_grayscale": a.is_grayscale,
+                        "blur_score": round(a.blur_score, 6),
+                        "noise_level": round(a.noise_level, 6),
+                        "skew_angle": round(a.skew_angle, 6),
+                        "contrast_ratio": round(a.contrast_ratio, 6),
+                        "brightness": round(a.brightness, 6),
+                        "estimated_dpi": a.estimated_dpi,
+                        "has_text": a.has_text,
+                        "is_inverted": a.is_inverted,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "media_ref string, width int, height int, is_grayscale boolean, "
+        "blur_score double, noise_level double, skew_angle double, "
+        "contrast_ratio double, brightness double, estimated_dpi int, "
+        "has_text boolean, is_inverted boolean"
+    )
+    return media.mapInPandas(fn, schema)
+
+
 QUERIES = {
     "infer_output_parse": QuerySpec(q_infer_parse, SQL_INFER_PARSE),
     "extract_pdf_metadata": QuerySpec(q_pdf_metadata, None),
     "media_image_stats": QuerySpec(q_media_image_stats, None),
+    "media_quality_analysis": QuerySpec(q_media_quality_analysis, None),
 }

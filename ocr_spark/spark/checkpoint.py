@@ -95,6 +95,7 @@ def run_extraction_job(
     profile: str = "default",
     mode: str = "fused",
     max_buckets: int | None = None,
+    docs_path: str | None = None,
     **pipeline_kw,
 ) -> dict:
     """Process all not-yet-committed buckets; returns a run report.
@@ -111,15 +112,16 @@ def run_extraction_job(
         if max_buckets is not None and len(processed) >= max_buckets:
             break
         attempt = _attempt_number(out_dir, b)
-        sub = docs_df.filter(bucket_expr(n_buckets) == b)
         result = run_pipeline(
             spark,
-            sub,
+            docs_df,
             media_df,
             profile=profile,
             mode=mode,
             run_id=run_id,
             attempt=attempt,
+            docs_path=docs_path,
+            docs_filter=bucket_expr(n_buckets) == b,
             **pipeline_kw,
         )
         bucket_path = os.path.join(out_dir, f"bucket={b}")

@@ -111,8 +111,33 @@ def _empty_doc_branch(spans: DataFrame) -> DataFrame:
     )
 
 
+def _media_span_rows(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    docs_path: str | None,
+    docs_filter,
+) -> DataFrame:
+    """Span rows for the media branch, WITHOUT the text payload.
+
+    Given a path, re-scan with an explicitly pruned schema: Catalyst's
+    generator pruning only handles single-field explodes, so without
+    this the image branch would read the whole text corpus too."""
+    if docs_path:
+        docs = spark.read.schema(S.MEDIA_BRANCH_DOCS_SCHEMA).parquet(docs_path)
+        if docs_filter is not None:
+            docs = docs.filter(docs_filter)
+    else:
+        docs = docs_df
+    return docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def _media_input(
-    spans: DataFrame,
+    media_spans: DataFrame,
     media_df: DataFrame,
     broadcast_media: bool | None,
     span_partitions: int | None,
@@ -121,7 +146,7 @@ def _media_input(
     if broadcast_media:
         m = F.broadcast(m)
     joined = (
-        spans.filter(F.col("kind").isin(*MEDIA_KINDS))
+        media_spans.filter(F.col("kind").isin(*MEDIA_KINDS))
         .join(m, "media_ref", "left")
         .select("doc_id", "kind", "media_ref", "offset", "png")
     )
@@ -316,15 +341,23 @@ def run_pipeline(
     chunk_partitions: int | None = None,
     doc_partitions: int | None = None,
     broadcast_media: bool | None = None,
+    docs_path: str | None = None,
+    docs_filter=None,
 ) -> DataFrame:
     """documents + media -> extracted (EXTRACTED_SCHEMA).
 
     mode='fused'  — one Arrow stage per span (fewest shuffles).
     mode='staged' — pdf/split/extract/merge stages with chunk-level
                     rebalance (heavy-doc skew path).
+    docs_path     — optional parquet path of docs_df; enables a pruned
+                    re-scan (no spans.text) for the media branch.
+    docs_filter   — optional Column predicate applied to every scan of
+                    the documents table (the resume bucket filter).
     """
     if isinstance(profile, str):
         profile = get_profile(profile)
+    if docs_filter is not None:
+        docs_df = docs_df.filter(docs_filter)
     # Heavy-compute stages want many small tasks: per-image cost varies by
     # ~100x (a clean 0.15 MP page vs a 2 MP split+merge page), so default
     # to 4 tasks per core and let the scheduler even it out.
@@ -332,7 +365,8 @@ def run_pipeline(
     span_partitions = span_partitions or default_parts
     chunk_partitions = chunk_partitions or default_parts
     spans = _span_rows(docs_df)
-    media_in = _media_input(spans, media_df, broadcast_media, span_partitions)
+    media_spans = _media_span_rows(spark, docs_df, docs_path, docs_filter)
+    media_in = _media_input(media_spans, media_df, broadcast_media, span_partitions)
     if mode == "fused":
         media_out = _media_branch_fused(media_in, profile)
     elif mode == "staged":

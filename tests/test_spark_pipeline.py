@@ -35,9 +35,17 @@ def assert_equals_oracle(rows_by_doc, oracle_extracted):
 
 @pytest.mark.parametrize("mode", ["fused", "staged"])
 def test_pipeline_matches_oracle(spark, corpus_dir, oracle_extracted, mode):
+    import os
+
     docs, media = read_corpus(spark, corpus_dir)
     out = run_pipeline(
-        spark, docs, media, mode=mode, run_id=f"t-{mode}", span_partitions=16
+        spark, docs, media, mode=mode, run_id=f"t-{mode}", span_partitions=16,
+        # fused also exercises the pruned media-branch re-scan
+        docs_path=(
+            os.path.join(corpus_dir, "documents.parquet")
+            if mode == "fused"
+            else None
+        ),
     )
     rows = {r["doc_id"]: r for r in out.collect()}
     assert_equals_oracle(rows, oracle_extracted)
