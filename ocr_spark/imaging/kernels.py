@@ -45,8 +45,7 @@ def to_gray(img: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
 
 
-def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
-    """k x k moving average with replicate borders (float in/out)."""
+def _box_mean_block(img_f: np.ndarray, k: int) -> np.ndarray:
     pad = k // 2
     padded = np.pad(img_f, pad, mode="edge").astype(np.float64)
     # integral image trick: one cumsum per axis
@@ -57,6 +56,35 @@ def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
     cs2 = np.hstack([np.zeros((cs2.shape[0], 1)), cs2])
     summed = cs2[:, k:] - cs2[:, :-k]
     return summed / (k * k)
+
+
+# strips keep every float64 temp under ~16 MB (see resize_bilinear note)
+_BOX_STRIP_ELEMS = 2 << 20
+
+
+def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
+    """k x k moving average with replicate borders (float in/out).
+
+    Large images run in row strips with a k//2 halo; pixel sums are
+    exact integers in float64, so the strip-wise result is bit-identical
+    to the whole-image integral computation.
+    """
+    h, w = img_f.shape
+    if h * w <= _BOX_STRIP_ELEMS or h <= 2 * k:
+        return _box_mean_block(img_f, k)
+    pad = k // 2
+    out = np.empty((h, w), dtype=np.float64)
+    step = max(k, _BOX_STRIP_ELEMS // w)
+    for s in range(0, h, step):
+        e = min(s + step, h)
+        # halo rows come from the image; replicate-pad only at the ends
+        s0, e0 = max(0, s - pad), min(h, e + pad)
+        block = img_f[s0:e0]
+        top, bot = pad - (s - s0), pad - (e0 - e)
+        if top or bot:
+            block = np.pad(block, ((top, bot), (0, 0)), mode="edge")
+        out[s:e] = _box_mean_block(block, k)[pad:pad + (e - s)]
+    return out
 
 
 def laplacian_var(gray: np.ndarray) -> float:

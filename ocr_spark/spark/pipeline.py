@@ -141,14 +141,25 @@ def _media_input(
     media_df: DataFrame,
     broadcast_media: bool | None,
     span_partitions: int | None,
+    max_payload_bytes: int | None = None,
+    with_dims: bool = False,
 ) -> DataFrame:
-    m = media_df.select("media_ref", "png")
+    dim_cols = ["width", "height"] if with_dims else []
+    m = media_df.select("media_ref", "png", *dim_cols)
+    if max_payload_bytes:
+        # oversize-payload guard (file_validation.py:149-162): nulling the
+        # payload turns the span into a counted skip, never an exception
+        m = m.select(
+            "media_ref",
+            F.when(F.length("png") <= max_payload_bytes, F.col("png")).alias("png"),
+            *dim_cols,
+        )
     if broadcast_media:
         m = F.broadcast(m)
     joined = (
         media_spans.filter(F.col("kind").isin(*MEDIA_KINDS))
         .join(m, "media_ref", "left")
-        .select("doc_id", "kind", "media_ref", "offset", "png")
+        .select("doc_id", "kind", "media_ref", "offset", "png", *dim_cols)
     )
     # span-level salt: a skew-monster doc's spans spread over the cluster.
     # Explicit partition count — AQE coalesces by *bytes*, but this stage's
@@ -247,6 +258,30 @@ def _media_branch_staged(
     return _finish_branch(out)
 
 
+def _media_branch_hybrid(
+    media_in: DataFrame,
+    profile: EngineProfile,
+    chunk_partitions: int | None,
+) -> DataFrame:
+    """Route by stored media dimensions: spans that will split (or are
+    pdfs) take the staged chunk-level path; everything else takes the
+    fused path. Any routing is semantics-preserving (both paths are
+    oracle-equal); this one puts the staged overhead only where its
+    skew-defeating fan-out pays."""
+    sp = profile.split
+    heavy = (
+        (F.col("kind") == "pdf")
+        | (F.col("width").cast("long") * F.col("height") > int(sp.max_megapixels * 1e6))
+        | (F.greatest("width", "height") > sp.max_dimension)
+    )
+    base = ["doc_id", "kind", "media_ref", "offset", "png"]
+    small = media_in.filter(~F.coalesce(heavy, F.lit(False))).select(*base)
+    big = media_in.filter(F.coalesce(heavy, F.lit(False))).select(*base)
+    return _media_branch_fused(small, profile).unionByName(
+        _media_branch_staged(big, profile, chunk_partitions)
+    )
+
+
 def reassemble(span_results: DataFrame, run_id: str, attempt: int,
                doc_partitions: int | None = None) -> DataFrame:
     """groupBy(doc_id) span-order reassembly + metrics (M7/M9) — pure
@@ -343,6 +378,7 @@ def run_pipeline(
     broadcast_media: bool | None = None,
     docs_path: str | None = None,
     docs_filter=None,
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
     """documents + media -> extracted (EXTRACTED_SCHEMA).
 
@@ -366,11 +402,20 @@ def run_pipeline(
     chunk_partitions = chunk_partitions or default_parts
     spans = _span_rows(docs_df)
     media_spans = _media_span_rows(spark, docs_df, docs_path, docs_filter)
-    media_in = _media_input(media_spans, media_df, broadcast_media, span_partitions)
+    media_in = _media_input(
+        media_spans,
+        media_df,
+        broadcast_media,
+        span_partitions,
+        max_payload_bytes,
+        with_dims=(mode == "hybrid"),
+    )
     if mode == "fused":
         media_out = _media_branch_fused(media_in, profile)
     elif mode == "staged":
         media_out = _media_branch_staged(media_in, profile, chunk_partitions)
+    elif mode == "hybrid":
+        media_out = _media_branch_hybrid(media_in, profile, chunk_partitions)
     else:
         raise ValueError(f"unknown mode: {mode}")
     union = (

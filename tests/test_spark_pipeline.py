@@ -33,7 +33,7 @@ def assert_equals_oracle(rows_by_doc, oracle_extracted):
         ), doc_id
 
 
-@pytest.mark.parametrize("mode", ["fused", "staged"])
+@pytest.mark.parametrize("mode", ["fused", "staged", "hybrid"])
 def test_pipeline_matches_oracle(spark, corpus_dir, oracle_extracted, mode):
     import os
 
@@ -130,3 +130,20 @@ def test_profile_qari_rtl(spark, oracle_extracted):
     rows = {r["doc_id"]: r for r in out.collect()}
     for doc_id, (ospans, _om) in oracle.items():
         assert _spans_tuple(rows[doc_id]["spans"]) == _spans_tuple(ospans), doc_id
+
+
+def test_oversize_payload_cap_skips(spark, corpus_dir):
+    """P11 oversize guard: a tiny cap turns every media span into a
+    counted skip (file_validation.py:149-162 semantics), no exceptions."""
+    from pyspark.sql import functions as F
+
+    docs, media = read_corpus(spark, corpus_dir)
+    out = run_pipeline(
+        spark, docs, media, mode="fused", span_partitions=8,
+        max_payload_bytes=10,
+    )
+    r = out.agg(
+        F.sum("metrics.n_media").alias("m"),
+        F.sum("metrics.skipped").alias("s"),
+    ).collect()[0]
+    assert r["m"] > 0 and r["m"] == r["s"]
