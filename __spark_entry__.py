@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["extract_pipeline_fused"] = _extract_query("fused")
     out["extract_pipeline_staged"] = _extract_query("staged")
+    out["extract_pipeline_hybrid"] = _extract_query("hybrid")
     return out
 
 

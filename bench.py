@@ -27,7 +27,7 @@ BENCH_DOCS = {"sf0.001": 60, "sf0.01": 120, "sf0.1": 240}
 # (a 2 MP grid page costs ~100x a clean page), and use the hybrid mode:
 # fused for the small majority, chunk-level staged fan-out for exactly
 # the heavy spans that would otherwise bound the wall clock
-SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 720}
+SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 1200}
 SCALE_MODE = "hybrid"
 WARMUP_DOCS = 16
 
@@ -175,8 +175,10 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
         spark.sparkContext.setLogLevel("ERROR")
         _warmup(spark)
         _run_extraction(spark, corpus, SCALE_MODE)  # warm pass on the corpus
+        # this VM's run-to-run variance is ~±30% (lazy paging + noisy
+        # neighbors); min-of-3 recovers the steady-state wall
         results[n] = _timed(
-            lambda: _run_extraction(spark, corpus, SCALE_MODE), repeats=1
+            lambda: _run_extraction(spark, corpus, SCALE_MODE), repeats=3
         )
         spark.stop()
     t_small, t_big = results[n_small], results[cpus]
