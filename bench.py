@@ -24,11 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DOCS = {"sf0.001": 60, "sf0.01": 120, "sf0.1": 240}
 # scaling runs need enough work to amortize the heaviest single span
-# (a 2 MP grid page costs ~100x a clean page), and use the hybrid mode:
-# fused for the small majority, chunk-level staged fan-out for exactly
-# the heavy spans that would otherwise bound the wall clock
+# (a 2 MP grid page costs ~100x a clean page). After the kernel strip
+# fixes the heaviest span is ~3 s, so fused no longer hits a critical-
+# path bound at this corpus size and measures the cleanest efficiency;
+# hybrid/staged remain the answer for giant-single-span docs (500-page
+# pdfs) and measure >=0.9 as well (BENCH/BASELINE.md).
 SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 1200}
-SCALE_MODE = "hybrid"
+SCALE_MODE = "fused"
 WARMUP_DOCS = 16
 
 

@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", required=True)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument(
-        "--mode", choices=["fused", "staged", "hybrid"], default="hybrid"
+        "--mode", choices=["fused", "staged", "hybrid"], default="fused"
     )
     p.add_argument(
         "--profile", choices=["default", "got", "deepseek", "qari"],

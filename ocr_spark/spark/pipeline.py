@@ -177,7 +177,22 @@ def _media_branch_staged(
     profile: EngineProfile,
     chunk_partitions: int | None,
 ) -> DataFrame:
-    pages = media_in.mapInPandas(make_pdf_fanout(profile), S.PAGE_SCHEMA)
+    # only pdf spans need the Python render fan-out; plain media spans
+    # become single-page rows with a Catalyst projection (no Arrow hop)
+    pdf_pages = media_in.filter(F.col("kind") == "pdf").mapInPandas(
+        make_pdf_fanout(profile), S.PAGE_SCHEMA
+    )
+    media_pages = media_in.filter(F.col("kind") != "pdf").select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        F.when(F.col("png").isNull(), F.lit(-1)).otherwise(F.lit(0)).alias("page_idx"),
+        F.when(F.col("png").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("n_pages"),
+        "png",
+        F.col("png").isNull().alias("skipped"),
+    )
+    pages = media_pages.unionByName(pdf_pages)
     chunks = pages.mapInPandas(make_split_stage(profile), S.CHUNK_SCHEMA)
     # chunk-level rebalance: a 16-chunk page / 500-page pdf spreads out
     chunks = chunks.repartition(
@@ -399,7 +414,9 @@ def run_pipeline(
     # to 4 tasks per core and let the scheduler even it out.
     default_parts = spark.sparkContext.defaultParallelism * 4
     span_partitions = span_partitions or default_parts
-    chunk_partitions = chunk_partitions or default_parts
+    # chunk rows are already finer-grained than spans; 2x parallelism
+    # balances without paying extra scheduling waves
+    chunk_partitions = chunk_partitions or spark.sparkContext.defaultParallelism * 2
     spans = _span_rows(docs_df)
     media_spans = _media_span_rows(spark, docs_df, docs_path, docs_filter)
     media_in = _media_input(

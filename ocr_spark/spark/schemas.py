@@ -117,7 +117,10 @@ PAGE_SCHEMA = T.StructType(
     ]
 )
 
-# staged mode: one chunk per row after split fan-out
+# staged mode: one chunk per row after split fan-out. Chunk pixels ride
+# as raw uint8 bytes + shape, not PNG: zlib per chunk costs more than
+# shuffling raw bytes under lz4 block compression (mostly-white pages
+# compress fine either way).
 CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -128,7 +131,10 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("row", T.IntegerType()),
         T.StructField("col", T.IntegerType()),
-        T.StructField("chunk_png", T.BinaryType()),
+        T.StructField("chunk_raw", T.BinaryType()),
+        T.StructField("chunk_h", T.IntegerType()),
+        T.StructField("chunk_w", T.IntegerType()),
+        T.StructField("chunk_ch", T.IntegerType()),
         T.StructField("split_method", T.StringType()),
         T.StructField("global_steps", T.ArrayType(T.StringType())),
         T.StructField("skipped", T.BooleanType()),

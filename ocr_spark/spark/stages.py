@@ -181,11 +181,12 @@ def make_split_stage(profile: EngineProfile):
                 k: []
                 for k in (
                     "doc_id offset kind media_ref page_idx n_pages row col "
-                    "chunk_png split_method global_steps skipped".split()
+                    "chunk_raw chunk_h chunk_w chunk_ch split_method "
+                    "global_steps skipped".split()
                 )
             }
 
-            def emit(r, row, col, png, method, gsteps, skipped):
+            def emit(r, row, col, img, method, gsteps, skipped):
                 out["doc_id"].append(r.doc_id)
                 out["offset"].append(r.offset)
                 out["kind"].append(r.kind)
@@ -194,7 +195,16 @@ def make_split_stage(profile: EngineProfile):
                 out["n_pages"].append(r.n_pages)
                 out["row"].append(row)
                 out["col"].append(col)
-                out["chunk_png"].append(png)
+                if img is None:
+                    out["chunk_raw"].append(None)
+                    out["chunk_h"].append(0)
+                    out["chunk_w"].append(0)
+                    out["chunk_ch"].append(0)
+                else:
+                    out["chunk_raw"].append(np.ascontiguousarray(img).tobytes())
+                    out["chunk_h"].append(img.shape[0])
+                    out["chunk_w"].append(img.shape[1])
+                    out["chunk_ch"].append(1 if img.ndim == 2 else img.shape[2])
                 out["split_method"].append(method)
                 out["global_steps"].append(gsteps)
                 out["skipped"].append(skipped)
@@ -219,7 +229,7 @@ def make_split_stage(profile: EngineProfile):
                         r,
                         chunk.row,
                         chunk.col,
-                        encode_png(chunk.image),
+                        chunk.image,
                         outcome.split_method,
                         gsteps,
                         False,
@@ -247,15 +257,24 @@ def make_extract_stage(profile: EngineProfile):
             texts = [""] * n
             confs = np.zeros(n)
             steps: list[list[str]] = [[] for _ in range(n)]
-            pngs = b["chunk_png"].to_numpy(dtype=object)
+            raws = b["chunk_raw"].to_numpy(dtype=object)
+            hs = b["chunk_h"].to_numpy()
+            ws = b["chunk_w"].to_numpy()
+            chs = b["chunk_ch"].to_numpy()
             gsteps = b["global_steps"].to_numpy(dtype=object)
             skipped = b["skipped"].to_numpy()
             for i in range(n):
-                png = _as_bytes(pngs[i])
-                if skipped[i] or png is None:
+                raw = _as_bytes(raws[i])
+                if skipped[i] or raw is None:
                     steps[i] = list(gsteps[i]) if gsteps[i] is not None else []
                     continue
-                pres = preprocess(decode_png(png), chunk_cfg)
+                shape = (
+                    (int(hs[i]), int(ws[i]))
+                    if chs[i] == 1
+                    else (int(hs[i]), int(ws[i]), int(chs[i]))
+                )
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(shape)
+                pres = preprocess(img, chunk_cfg)
                 text, conf = extract_text(pres.image)
                 texts[i] = text
                 confs[i] = conf
