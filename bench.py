@@ -132,8 +132,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_ngram_jaccard",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
+        "embedding_ann_ivf",
         "events_sessionize",
         "events_span_reassembly",
         "tpch_revenue_by_nation",

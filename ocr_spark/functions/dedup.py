@@ -192,6 +192,80 @@ FROM pairs
 
 
 # --------------------------------------------------------------------------
+# char n-gram Jaccard with attribute blocking
+# --------------------------------------------------------------------------
+
+CHAR_GRAM_W = 5
+JACCARD_MIN = 0.2
+LEN_BUCKET = 128
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by char 5-gram Jaccard, candidate pairs blocked on
+    (source, length-bucket) — the cheap-blocking alternative to MinHash
+    when a natural partition attribute exists; the block key is also the
+    join key, so at scale this is a co-partitioned self-join, never an
+    all-pairs."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (CHAR_GRAM_W - 1), F.lit(1))
+            ),
+            lambda i: F.substring(F.col("text"), i, CHAR_GRAM_W),
+        )
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / LEN_BUCKET).cast("long").alias("lb"),
+        grams.alias("grams"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(1.0))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars // {LEN_BUCKET} AS lb,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {CHAR_GRAM_W - 1}, 1) + 1),
+           i -> substr(text, i, {CHAR_GRAM_W}))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                    THEN len(list_intersect(a.grams, b.grams))
+                         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+                    ELSE 1.0 END, 6) AS jaccard
+  FROM t a JOIN t b
+    ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= {JACCARD_MIN}
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
@@ -289,6 +363,7 @@ FROM sim a JOIN sim b
 
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _minhash_sql()),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),

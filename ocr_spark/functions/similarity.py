@@ -220,8 +220,120 @@ SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {LSH_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: deterministic coarse quantizer + inverted lists + nprobe
+# --------------------------------------------------------------------------
+
+IVF_K = 16  # coarse centroids: the first K vectors (deterministic, data-derived)
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: every vector is assigned to its nearest coarse
+    centroid (inverted lists); a query probes its IVF_NPROBE nearest
+    lists and exact-reranks only those candidates. The quantizer is the
+    first K vectors — deterministic and SQL-checkable; swapping in
+    k-means centroids changes recall, not the plan shape. At scale the
+    list id is the partition key: the probe is a centroid-key join,
+    never a corpus scan."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+
+    def assign(df, id_col, emb_col, n_keep):
+        scored = df.join(cent).select(
+            id_col,
+            "cid",
+            _cos(F.col(emb_col), F.col("ce")).alias("csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, "cid", "crank")
+        )
+
+    lists = assign(emb, "vec_id", "embedding", 1).join(emb, "vec_id").select(
+        "cid", "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probes = assign(
+        q.select(F.col("query_id"), F.col("qe").alias("embedding")),
+        "query_id",
+        "embedding",
+        IVF_NPROBE,
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .join(q, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS crank
+    FROM embeddings e, cent c
+  ) WHERE crank = 1
+), lists AS (
+  SELECT a.cid, e.vec_id, e.embedding FROM assign a JOIN embeddings e USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qe', 'c.ce')} DESC, c.cid) AS crank
+    FROM q, cent c
+  ) WHERE crank <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+  FROM probes p JOIN lists l USING (cid)
+  WHERE l.vec_id != p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_cos_sql('q.qe', 'e.embedding')} AS cos_sim
+  FROM cand c JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_ann_lsh": QuerySpec(q_ann_lsh, SQL_ANN_LSH),
+    "embedding_ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
 }
