@@ -146,6 +146,23 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         queries[name] = round(
             _timed(lambda: specs[name].fn(spark, sf_dir).count()), 3
         )
+
+    # corpus-level quality metrics (SURVEY §7.6: skip counts, confidence)
+    from pyspark.sql import functions as F
+
+    from ocr_spark.spark.corpus import read_corpus
+    from ocr_spark.spark.pipeline import run_pipeline
+
+    docs_df, media_df = read_corpus(spark, corpus)
+    ext = run_pipeline(spark, docs_df, media_df, mode="fused", run_id="bench-metrics")
+    # confidence over docs that extracted at least one media span —
+    # all-skipped docs report 0.0 by construction and would skew the stat
+    has_media = F.col("metrics.n_media") > F.col("metrics.skipped")
+    agg = ext.agg(
+        F.sum("metrics.skipped").alias("skips"),
+        F.avg(F.when(has_media, F.col("metrics.ocr_confidence"))).alias("avg_conf"),
+        F.min(F.when(has_media, F.col("metrics.ocr_confidence"))).alias("min_conf"),
+    ).collect()[0]
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -160,6 +177,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             "spans": spans_n,
             "docs_per_sec": round(docs_n / t_ex, 3),
             "spans_per_sec": round(spans_n / t_ex, 3),
+            "skip_count": int(agg["skips"] or 0),
+            "avg_ocr_confidence": round(float(agg["avg_conf"] or 0.0), 4),
+            "min_ocr_confidence": round(float(agg["min_conf"] or 0.0), 4),
         },
     }
 

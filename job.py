@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--media", required=True, help="media table path")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--run-id", required=True)
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--buckets", type=int, default=256)
     p.add_argument(
         "--mode", choices=["fused", "staged", "hybrid"], default="fused"
     )
