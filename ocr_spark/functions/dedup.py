@@ -1,6 +1,13 @@
 """Deduplication operators: exact (hash groupBy), MinHash+LSH banding,
-and SimHash — the dedup family of a training-data pipeline, over the
-flat `documents` table.
+char n-gram Jaccard with attribute blocking, and SimHash — the dedup
+family of a training-data pipeline, over the flat `documents` table.
+
+Public-literature basis: MinHash resemblance sketches (Broder, "On the
+resemblance and containment of documents", SEQUENCES 1997) with the
+standard banding amplification (Leskovec/Rajaraman/Ullman, "Mining of
+Massive Datasets" ch. 3); SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) as used for web-scale
+near-dup detection (Manku/Jain/Das Sarma, WWW 2007).
 
 MinHash/SimHash signatures are built from md5 (available and identical
 in Spark and DuckDB), with the "minimum" taken lexicographically over

@@ -1,6 +1,13 @@
 """Similarity search over the `embeddings` table (vec_id, embedding
 float[64], label): brute-force cosine top-k as the exactness baseline,
-and a random-hyperplane LSH-bucketed variant as the scale path.
+a random-hyperplane LSH-bucketed variant, and an IVF inverted-list
+variant as the scale paths.
+
+Public-literature basis: random-hyperplane LSH for cosine (Charikar,
+STOC 2002); IVF coarse quantization + inverted lists as in IVFADC
+(Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — here without the PQ refinement, exact rerank
+instead).
 
 Cosine is computed as an explicit left fold (zip -> multiply -> add) in
 BOTH engines so the floating-point operation sequence is identical and

@@ -93,7 +93,18 @@ def test_resume_skips_committed_buckets(
     assert run_ids == {"r1", "r2"}
 
 
-def test_profile_qari_rtl(spark, oracle_extracted):
+def test_empty_documents_input(spark, corpus_dir):
+    """Zero input docs -> zero output rows, no exceptions."""
+    docs, media = read_corpus(spark, corpus_dir)
+    out = run_pipeline(
+        spark, docs.filter("doc_id = 'nope'"), media, mode="fused",
+        span_partitions=4,
+    )
+    assert out.count() == 0
+
+
+@pytest.mark.parametrize("mode", ["fused", "staged"])
+def test_profile_qari_rtl(spark, oracle_extracted, mode):
     """The RTL/qari profile flows through both sides identically."""
     from ocr_spark.core import process_document
     from ocr_spark.fixtures import build_corpus
@@ -125,7 +136,7 @@ def test_profile_qari_rtl(spark, oracle_extracted):
         schema=MEDIA_SCHEMA,
     )
     out = run_pipeline(
-        spark, docs_df, media_df, profile="qari", mode="fused", span_partitions=8
+        spark, docs_df, media_df, profile="qari", mode=mode, span_partitions=8
     )
     rows = {r["doc_id"]: r for r in out.collect()}
     for doc_id, (ospans, _om) in oracle.items():
