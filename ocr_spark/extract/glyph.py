@@ -253,7 +253,9 @@ def extract_text(img: np.ndarray) -> tuple[str, float]:
     h, w = gray.shape
     if h < 5 or w < 5:
         return "", 0.0
-    ink = K.binarize_otsu(gray, invert=True) > 0
+    # direct ink mask: identical to binarize_otsu(..., invert=True) > 0
+    # without materializing the intermediate uint8 plane
+    ink = gray <= K.otsu_threshold(gray)
 
     row_ink = ink.sum(axis=1)
     is_band = row_ink >= max(2, int(0.004 * w))
