@@ -29,7 +29,7 @@ BENCH_DOCS = {"sf0.001": 60, "sf0.01": 120, "sf0.1": 240}
 # path bound at this corpus size and measures the cleanest efficiency;
 # hybrid/staged remain the answer for giant-single-span docs (500-page
 # pdfs) and measure >=0.9 as well (BENCH/BASELINE.md).
-SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 1200}
+SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 2400}
 SCALE_MODE = "fused"
 WARMUP_DOCS = 16
 

@@ -62,15 +62,16 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _cos(a: Column, b: Column) -> Column:
-    return F.round(
-        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
-    )
+    denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    # zero-norm guard: Spark(ANSI) double /0 yields Infinity but DuckDB
+    # yields NULL — emit NULL in both engines so hashes agree
+    return F.round(F.when(denom > 0, _dot(a, b) / denom), 6)
 
 
 def _cos_sql(a: str, b: str) -> str:
+    denom = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     return (
-        f"round({_dot_sql(a, b)} / "
-        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+        f"round(CASE WHEN {denom} > 0 THEN {_dot_sql(a, b)} / {denom} END, 6)"
     )
 
 

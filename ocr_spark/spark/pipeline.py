@@ -55,57 +55,25 @@ def _finish_branch(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def _text_branch(spans: DataFrame) -> DataFrame:
-    """kind='text' -> boilerplate strip, entirely JVM-side."""
+def _non_media_branch(spans: DataFrame) -> DataFrame:
+    """Text spans (boilerplate strip, entirely JVM-side), unknown kinds
+    (counted skips, core.py else-branch), and the null-kind rows that
+    keep empty-spans docs alive — one scan, one Filter+Project."""
+    is_text = F.col("kind") == "text"
     return _finish_branch(
-        spans.filter(F.col("kind") == "text").select(
+        spans.filter(F.col("kind").isNull() | ~F.col("kind").isin(*MEDIA_KINDS))
+        .select(
             "doc_id",
             "kind",
-            main_content_col(F.col("text")).alias("text"),
+            F.when(is_text, main_content_col(F.col("text")))
+            .when(F.col("kind").isNotNull(), F.lit(""))
+            .alias("text"),
             "media_ref",
             "offset",
             F.lit(0.0).alias("confidence"),
             F.array().cast("array<string>").alias("steps_applied"),
-            F.lit("none").alias("split_method"),
-            F.lit(False).alias("skipped"),
-            F.lit(0).cast("long").alias("elapsed_ms"),
-        )
-    )
-
-
-def _other_branch(spans: DataFrame) -> DataFrame:
-    """Unknown kinds count as skipped, never crash (core.py else-branch)."""
-    return _finish_branch(
-        spans.filter(
-            F.col("kind").isNotNull()
-            & ~F.col("kind").isin("text", *MEDIA_KINDS)
-        ).select(
-            "doc_id",
-            "kind",
-            F.lit("").alias("text"),
-            "media_ref",
-            "offset",
-            F.lit(0.0).alias("confidence"),
-            F.array().cast("array<string>").alias("steps_applied"),
-            F.lit("none").alias("split_method"),
-            F.lit(True).alias("skipped"),
-            F.lit(0).cast("long").alias("elapsed_ms"),
-        )
-    )
-
-
-def _empty_doc_branch(spans: DataFrame) -> DataFrame:
-    return _finish_branch(
-        spans.filter(F.col("kind").isNull()).select(
-            "doc_id",
-            F.lit(None).cast("string").alias("kind"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-            F.lit(None).cast("int").alias("offset"),
-            F.lit(0.0).alias("confidence"),
-            F.array().cast("array<string>").alias("steps_applied"),
-            F.lit(None).cast("string").alias("split_method"),
-            F.lit(False).alias("skipped"),
+            F.when(F.col("kind").isNotNull(), F.lit("none")).alias("split_method"),
+            (F.col("kind").isNotNull() & ~is_text).alias("skipped"),
             F.lit(0).cast("long").alias("elapsed_ms"),
         )
     )
@@ -435,10 +403,5 @@ def run_pipeline(
         media_out = _media_branch_hybrid(media_in, profile, chunk_partitions)
     else:
         raise ValueError(f"unknown mode: {mode}")
-    union = (
-        _text_branch(spans)
-        .unionByName(media_out)
-        .unionByName(_other_branch(spans))
-        .unionByName(_empty_doc_branch(spans))
-    )
+    union = _non_media_branch(spans).unionByName(media_out)
     return reassemble(union, run_id, attempt, doc_partitions)

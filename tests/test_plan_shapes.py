@@ -52,11 +52,11 @@ def test_media_table_scan_prunes_dims(spark, corpus_dir):
 
 
 def test_text_branch_stays_jvm_side(spark, corpus_dir):
-    """No Python/Arrow operator may appear in the text branch plan."""
+    """No Python/Arrow operator may appear in the text-branch plan."""
     from ocr_spark.spark.corpus import read_corpus
-    from ocr_spark.spark.pipeline import _span_rows, _text_branch
+    from ocr_spark.spark.pipeline import _non_media_branch, _span_rows
 
     docs, _media = read_corpus(spark, corpus_dir)
-    plan = _plan(_text_branch(_span_rows(docs)))
+    plan = _plan(_non_media_branch(_span_rows(docs)))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, plan
