@@ -194,8 +194,47 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the canonical scan+agg): per
+    (returnflag, linestatus) over shipped-before-cutoff lineitems."""
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = "1998-09-02"
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(cents(charge)).alias("sum_charge_cents"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
+    "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_rollup": QuerySpec(q_rollup, SQL_ROLLUP),
     "events_span_reassembly": QuerySpec(q_span_reassembly, SQL_SPAN_REASSEMBLY),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),

@@ -20,6 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ocr_spark.spark import schemas as S
 from ocr_spark.spark.pipeline import run_pipeline
@@ -62,6 +70,124 @@ def stream_extract(
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: gap sessionization with applyInPandasWithState
+# --------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# open-session state carried between micro-batches
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def make_sessionize_state_fn(gap_s: int = 1800):
+    """applyInPandasWithState update fn: per user, emit a session row
+    whenever a gap > gap_s closes one; the open session persists in the
+    group state across micro-batches (the engine's custom stateful
+    streaming operator — events for one user may arrive over many
+    batches and the session must survive the batch boundary)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def _to_us(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1000)
+
+    def _to_ts(us: int):
+        return dt.datetime.utcfromtimestamp(us / 1e6)
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            for ts in sorted(_to_us(t) for t in pdf["ts"]):
+                if start_us is None:
+                    start_us, last_us, n = ts, ts, 1
+                elif ts - last_us > gap_us:
+                    closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))
+                    start_us, last_us, n = ts, ts, 1
+                else:
+                    last_us = max(last_us, ts)
+                    n += 1
+        if state.hasTimedOut:
+            if start_us is not None:
+                closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            state.setTimeoutDuration(gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """events parquet files arriving in input_dir -> closed sessions.
+
+    Open sessions live in group state across micro-batches and close on
+    a processing-time timeout of one gap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        make_sessionize_state_fn(gap_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

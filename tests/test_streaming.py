@@ -48,3 +48,65 @@ def test_stream_extract_matches_oracle(spark, corpus_dir, oracle_extracted, tmp_
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == len(oracle_extracted)
     assert len(glob.glob(os.path.join(out_dir, "*.parquet"))) == n_files_before
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState: an open session survives the micro-batch
+    boundary and only closes when a later batch reveals the gap."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+
+    def write(name, rows):
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "event_id": i,
+                    "ts": ts,
+                    "user_id": u,
+                    "event_type": "c",
+                    "value": 1.0,
+                }
+                for i, (u, ts) in enumerate(rows)
+            ]
+        )
+        pq.write_table(tbl, os.path.join(in_dir, name))
+
+    # batch 1: user 1 has an in-batch gap (closes one session, keeps one
+    # open); user 2 has a single open session
+    write(
+        "b1.parquet",
+        [(1, t0), (1, t0 + 10 * sec), (1, t0 + 3000 * sec), (2, t0)],
+    )
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt, gap_s=1800, available_now=True)
+    q.awaitTermination(600)
+    got1 = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == {(1, 2)}  # only user 1's first session closed
+
+    # batch 2: user 1's open session continues; user 2's gap closes theirs
+    write(
+        "b2.parquet",
+        [(1, t0 + 3010 * sec), (2, t0 + 7200 * sec)],
+    )
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt, gap_s=1800, available_now=True)
+    q.awaitTermination(600)
+    got2 = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == {(1, 2), (2, 1)}
