@@ -14,57 +14,40 @@
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# corpus sizes for the image-pipeline queries, keyed by sf-dir basename
-_CORPUS_DOCS = {"sf0.001": 30, "sf0.01": 60, "sf0.1": 120}
 _DEFAULT_DOCS = 30
-_SKEW_SPANS = 24
-
-
-def _fixture_corpus_dir(n_docs: int) -> str:
-    """Deterministic fixture corpus parquet, cached per size."""
-    from ocr_spark.spark.corpus import write_corpus_parquet
-
-    d = os.path.join(
-        tempfile.gettempdir(), f"ocr_spark_corpus_n{n_docs}_s{_SKEW_SPANS}"
-    )
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        write_corpus_parquet(d, n_docs=n_docs, skew_monster_spans=_SKEW_SPANS)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
-
-
-def _corpus_docs_for(sf_dir: str) -> int:
-    return _CORPUS_DOCS.get(os.path.basename(sf_dir.rstrip("/")), _DEFAULT_DOCS)
 
 
 def _extract_query(mode: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ocr_spark.spark.corpus import read_corpus
+        from ocr_spark.functions.golden import GOLDEN_DOCS, GOLDEN_SKEW
+        from ocr_spark.spark.corpus import fixture_corpus_dir, read_corpus
         from ocr_spark.spark.pipeline import run_pipeline
 
-        corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
+        # fixed-size correctness corpus: the golden oracle table is
+        # precomputed for exactly this corpus (functions/golden.py)
+        corpus = fixture_corpus_dir(GOLDEN_DOCS, GOLDEN_SKEW)
         docs, media = read_corpus(spark, corpus)
         out = run_pipeline(
             spark, docs, media, mode=mode, run_id=f"q-{mode}",
             docs_path=os.path.join(corpus, "documents.parquet"),
         )
-        # flatten to scalar columns (driver-hashable shape)
+        # flatten to scalar columns (driver-hashable shape); the
+        # explode_outer null row (empty-spans doc) maps to non-null
+        # sentinels — nullable int columns go float64 in pandas-style
+        # harness materialization, the same hash-killer as HUGEINT
         return out.select(
             "doc_id", F.explode_outer("spans").alias("span")
         ).select(
             "doc_id",
-            F.col("span.offset").alias("offset"),
-            F.col("span.kind").alias("kind"),
-            F.col("span.media_ref").alias("media_ref"),
-            F.length("span.text").alias("n_chars"),
+            F.coalesce(F.col("span.offset"), F.lit(-1)).alias("offset"),
+            F.coalesce(F.col("span.kind"), F.lit("")).alias("kind"),
+            F.coalesce(F.col("span.media_ref"), F.lit("")).alias("media_ref"),
+            F.coalesce(F.length("span.text"), F.lit(-1)).alias("n_chars"),
             F.md5(F.coalesce(F.col("span.text"), F.lit("")).cast("binary")).alias(
                 "text_md5"
             ),
@@ -80,6 +63,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from ocr_spark.spark.pipeline import run_pipeline
     from ocr_spark.spark.schemas import MEDIA_SCHEMA
 
+    from ocr_spark.spark.corpus import fixture_corpus_dir
+
     sf_dir = "/root/testdata/sf0.001"
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # each flat doc -> one text span (offset 0), running the text branch
@@ -94,9 +79,9 @@ def entry(spark: SparkSession) -> DataFrame:
             )
         ).alias("spans"),
     )
-    corpus = _fixture_corpus_dir(_DEFAULT_DOCS)
+    corpus = fixture_corpus_dir(_DEFAULT_DOCS)
     fix_docs, media = read_corpus(spark, corpus)
-    docs = text_docs.unionByName(fix_docs)
+    docs = text_docs.unionByName(fix_docs.select("doc_id", "spans"))
     out = run_pipeline(spark, docs, media, mode="fused", run_id="entry")
     return out.select(
         "doc_id",
@@ -125,7 +110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_spark.functions import all_queries
+    from ocr_spark.functions.golden import SQL_EXTRACT_SPANS, ensure_golden
 
-    return {
-        name: spec.sql for name, spec in all_queries().items() if spec.sql
-    }
+    # golden tables must exist before DuckDB runs the image-path oracles
+    ensure_golden()
+    out = {name: spec.sql for name, spec in all_queries().items() if spec.sql}
+    # all three physical modes are oracle-equal by construction — each is
+    # checked against the same single-process golden spans table
+    out["extract_pipeline_fused"] = SQL_EXTRACT_SPANS
+    out["extract_pipeline_staged"] = SQL_EXTRACT_SPANS
+    out["extract_pipeline_hybrid"] = SQL_EXTRACT_SPANS
+    return out

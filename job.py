@@ -11,6 +11,14 @@
 Resumable: re-running with the same --out skips buckets whose manifest
 rows are committed (ocr_spark.spark.checkpoint). Exits 0 when every
 bucket is committed, 3 when work remains (e.g. --max-buckets used).
+
+If the input tables carry the materialized `bucket` layout column
+(ocr_spark.spark.corpus.write_corpus_parquet), the per-bucket filter is
+a partition filter — each bucket's run scans only its own files. Pick
+--buckets equal to (or a divisor of) the ingest layout's bucket count;
+a larger value still yields correct output but the extra buckets are
+empty runs. Without the column the job falls back to a post-scan hash
+filter (full scan per bucket — fine for small reruns, not at 100 TB).
 """
 
 from __future__ import annotations

@@ -13,6 +13,11 @@ Cross-engine float determinism rules used throughout:
   each term to an integer quantum first (exact int64 sums both sides).
 * single-value float ops (divide, multiply, cosine of one pair) are
   bit-identical IEEE ops; round(x, 6) guards the hash.
+* DuckDB ``sum(BIGINT)`` returns HUGEINT, which Python DB clients
+  materialize as float64 (``1074.0``) — a silent hash-killer against
+  Spark's int64 even when values are equal. Every ``sum(...)`` in a
+  final SQL projection must be wrapped ``CAST(sum(...) AS BIGINT)``
+  (CTE pass-throughs keep HUGEINT too — cast at the aggregation site).
 """
 
 from __future__ import annotations

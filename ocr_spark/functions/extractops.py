@@ -30,8 +30,10 @@ def _is_breaker(line: Column) -> Column:
 
 
 def _is_debug(line: Column) -> Column:
-    t = F.trim(line)
-    return t.startswith("BASE:") | t.startswith("PATCHES:")
+    # regex, not trim(): Python's str.strip() (inferlog.py and the
+    # reference parser) strips ALL whitespace; F.trim strips spaces only,
+    # which would keep tab-indented debug lines the state machine drops
+    return line.rlike("^\\s*(BASE:|PATCHES:)")
 
 
 def parse_infer_output_col(raw: Column) -> Column:
@@ -117,8 +119,7 @@ WITH r AS (
                          i -> i > strt AND i < stop
                               AND NOT (contains(lines[i], '{MARKER}')
                                        AND NOT contains(lower(lines[i]), 'save'))
-                              AND NOT (starts_with(trim(lines[i]), 'BASE:')
-                                       OR starts_with(trim(lines[i]), 'PATCHES:'))),
+                              AND NOT regexp_matches(lines[i], '^\\s*(BASE:|PATCHES:)')),
              i -> lines[i]),
            chr(10)), ''), '^\\s+|\\s+$', '', 'g') AS parsed
   FROM p
@@ -128,44 +129,33 @@ SELECT doc_id, length(parsed) AS parsed_len, md5(parsed) AS parsed_md5 FROM k
 
 
 # --------------------------------------------------------------------------
-# pdf metadata probe + multimodal image stats (rows-only)
+# pdf metadata probe + multimodal image stats — golden-table oracles:
+# the expected results are precomputed by the single-process reference
+# implementation (functions/golden.py) over the SAME deterministic
+# fixture media table, so these image-path queries are fully hash-gated
+# despite their binary inputs being opaque to SQL.
 # --------------------------------------------------------------------------
+
+
+def _golden_media(spark: SparkSession):
+    from ocr_spark.functions.golden import GOLDEN_DOCS, GOLDEN_SKEW, ensure_golden
+    from ocr_spark.spark.corpus import fixture_corpus_dir
+
+    ensure_golden()  # the oracle SQL reads this parquet right after us
+    corpus = fixture_corpus_dir(GOLDEN_DOCS, GOLDEN_SKEW)
+    return spark.read.parquet(f"{corpus}/media.parquet")
 
 
 def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: page_count/title/author for every SPDF payload in the fixture
     media table (/root/reference/app/services/pdf_service.py:182-214)."""
-    import pandas as pd
+    from ocr_spark.functions.golden import pdf_meta_frame
 
-    from __spark_entry__ import _corpus_docs_for, _fixture_corpus_dir
-
-    corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
-    media = spark.read.parquet(f"{corpus}/media.parquet")
+    media = _golden_media(spark)
 
     def fn(batches):
-        from ocr_spark.pdfio import is_pdf, pdf_metadata
-
         for b in batches:
-            rows = []
-            for r in b.itertuples():
-                data = bytes(r.png) if r.png is not None else b""
-                if not is_pdf(data):
-                    continue
-                try:
-                    meta = pdf_metadata(data)
-                except Exception:  # noqa: BLE001 — malformed -> skip row
-                    continue
-                rows.append(
-                    {
-                        "media_ref": r.media_ref,
-                        "page_count": int(meta.get("page_count", 0)),
-                        "title": str(meta.get("title", "")),
-                        "author": str(meta.get("author", "")),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_ref", "page_count", "title", "author"]
-            )
+            yield pdf_meta_frame(b)
 
     return media.mapInPandas(
         fn, "media_ref string, page_count int, title string, author string"
@@ -176,60 +166,22 @@ def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column path: decode PNG payloads in Arrow
     batches and emit typed per-image stats (SURVEY.md §2 extension for
     training-data pipelines)."""
-    from __spark_entry__ import _corpus_docs_for, _fixture_corpus_dir
     from ocr_spark.multimodal import IMAGE_STATS_SCHEMA, image_stats_udf
 
-    corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
-    media = spark.read.parquet(f"{corpus}/media.parquet")
+    media = _golden_media(spark)
     return media.mapInPandas(image_stats_udf, IMAGE_STATS_SCHEMA)
 
 
 def q_media_quality_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A8 as a queryable table: one analyzer pass per image, metrics
     exported for corpus-level aggregation (SURVEY.md §2.4)."""
-    import pandas as pd
+    from ocr_spark.functions.golden import quality_frame
 
-    from __spark_entry__ import _corpus_docs_for, _fixture_corpus_dir
-
-    corpus = _fixture_corpus_dir(_corpus_docs_for(sf_dir))
-    media = spark.read.parquet(f"{corpus}/media.parquet")
+    media = _golden_media(spark)
 
     def fn(batches):
-        from ocr_spark.config import PreprocessConfig
-        from ocr_spark.imaging.analyzer import analyze_quality
-        from ocr_spark.imaging.png import decode_png
-
-        cfg = PreprocessConfig()
-        cols = [
-            "media_ref", "width", "height", "is_grayscale", "blur_score",
-            "noise_level", "skew_angle", "contrast_ratio", "brightness",
-            "estimated_dpi", "has_text", "is_inverted",
-        ]
         for b in batches:
-            rows = []
-            for r in b.itertuples():
-                try:
-                    img = decode_png(bytes(r.png))
-                except Exception:  # noqa: BLE001 — non-image payloads skipped
-                    continue
-                a = analyze_quality(img, cfg)
-                rows.append(
-                    {
-                        "media_ref": r.media_ref,
-                        "width": a.width,
-                        "height": a.height,
-                        "is_grayscale": a.is_grayscale,
-                        "blur_score": round(a.blur_score, 6),
-                        "noise_level": round(a.noise_level, 6),
-                        "skew_angle": round(a.skew_angle, 6),
-                        "contrast_ratio": round(a.contrast_ratio, 6),
-                        "brightness": round(a.brightness, 6),
-                        "estimated_dpi": a.estimated_dpi,
-                        "has_text": a.has_text,
-                        "is_inverted": a.is_inverted,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
+            yield quality_frame(b)
 
     schema = (
         "media_ref string, width int, height int, is_grayscale boolean, "
@@ -240,9 +192,21 @@ def q_media_quality_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(fn, schema)
 
 
+def _golden_sql(name: str) -> str:
+    from ocr_spark.functions import golden
+
+    return {
+        "pdf_metadata": golden.SQL_PDF_METADATA,
+        "image_stats": golden.SQL_IMAGE_STATS,
+        "quality": golden.SQL_QUALITY,
+    }[name]
+
+
 QUERIES = {
     "infer_output_parse": QuerySpec(q_infer_parse, SQL_INFER_PARSE),
-    "extract_pdf_metadata": QuerySpec(q_pdf_metadata, None),
-    "media_image_stats": QuerySpec(q_media_image_stats, None),
-    "media_quality_analysis": QuerySpec(q_media_quality_analysis, None),
+    "extract_pdf_metadata": QuerySpec(q_pdf_metadata, _golden_sql("pdf_metadata")),
+    "media_image_stats": QuerySpec(q_media_image_stats, _golden_sql("image_stats")),
+    "media_quality_analysis": QuerySpec(
+        q_media_quality_analysis, _golden_sql("quality")
+    ),
 }

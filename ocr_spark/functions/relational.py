@@ -21,7 +21,17 @@ from ocr_spark.functions import QuerySpec, load
 SESSION_GAP_S = 1800
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Timestamp queries must hash identically under any harness session:
+    `date_format`/`unix_timestamp` over naive parquet timestamps resolve the
+    session TZ at analysis time, so pin UTC *before* building the plan (the
+    repo's own session.py does this, but `queries()` runs on the driver's
+    session, which may not)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_utc(spark)
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.unix_timestamp("ts")
@@ -51,13 +61,15 @@ WITH x AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, count(*) AS n_events, sum(new_s) AS n_sessions,
-       sum(value_milli) AS value_millis
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(sum(value_milli) AS BIGINT) AS value_millis
 FROM x GROUP BY user_id
 """
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_utc(spark)
     ev = load(spark, sf_dir, "events")
     return (
         ev.select(
@@ -80,7 +92,7 @@ SELECT event_type,
        strftime(ts, '%Y-%m-%d %H') AS hour,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(round(value * 1000, 0) AS BIGINT)) AS value_millis
+       CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis
 FROM events
 GROUP BY 1, 2
 """
@@ -143,8 +155,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REVENUE_BY_NATION = """
 SELECT n.n_name AS nation,
        count(*) AS n_lineitems,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-         AS revenue_cents
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -180,7 +192,7 @@ def q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOP_PARTS_BY_BRAND = """
 WITH agg AS (
   SELECT p.p_brand, p.p_partkey,
-         sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS total_qty
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY 1, 2
 ), ranked AS (
@@ -221,10 +233,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag AS returnflag,
        l_linestatus AS linestatus,
-       sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS sum_charge_cents,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

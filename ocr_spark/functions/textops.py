@@ -253,7 +253,7 @@ def _boilerplate_sql() -> str:
       OR (len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) <= 6
           AND (len(list_filter(string_split_regex(b, '\\s+'),
                    w -> w != '' AND list_contains({_SW_SQL},
-                        regexp_replace(lower(w), '^{punct}+|{punct}+$', 'g'))))
+                        regexp_replace(lower(w), '^{punct}+|{punct}+$', '', 'g'))))
                / CAST(len(list_filter(string_split_regex(b, '\\s+'), w -> w != '')) AS DOUBLE)) <= 0.2
           AND NOT regexp_matches(b, '[.!?]\\s*$'))
     )"""

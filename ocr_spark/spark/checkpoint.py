@@ -29,8 +29,31 @@ MANIFEST_DIR = "_manifest"
 
 
 def bucket_expr(n_buckets: int):
-    """Deterministic doc -> bucket hash (the resume partition key)."""
-    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+    """Deterministic doc -> bucket hash (the resume partition key).
+
+    md5-based so it is portable: identical to corpus.bucket_of (Python)
+    and computable in any SQL engine — the ingest-time layout column and
+    this runtime fallback always agree."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def bucket_filter(df, n_buckets: int, b: int):
+    """Predicate selecting runtime bucket `b`.
+
+    If the input carries the materialized `bucket` layout column
+    (corpus.write_corpus_parquet), filter on IT — Catalyst turns a
+    deterministic predicate over a hive partition column into a
+    PartitionFilter, so the scan reads ~1/n of the files instead of
+    re-scanning the whole corpus once per bucket (the r1 scale bug).
+    `pmod(bucket, n)` assigns every doc to exactly one runtime bucket for
+    ANY layout count; hash-fallback consistency additionally needs
+    layout % n == 0 (guaranteed by corpus.LAYOUT_BUCKETS=8 divisors)."""
+    if "bucket" in df.columns:
+        return F.pmod(F.col("bucket"), F.lit(n_buckets)) == b
+    return bucket_expr(n_buckets) == b
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -103,6 +126,31 @@ def run_extraction_job(
     `max_buckets` caps how many buckets this invocation processes — the
     test hook for simulating a mid-run kill."""
     done = completed_buckets(out_dir)
+    filter_method = "bucket-column" if "bucket" in docs_df.columns else "hash"
+    # a committed manifest row only covers THIS invocation's doc subsets
+    # if the bucketing matches: rerunning the same out_dir with a
+    # different --buckets (or filter method) would silently drop and
+    # duplicate docs, so fail fast instead (ADVICE r1)
+    for b, row in done.items():
+        if int(row.get("n_buckets", -1)) != n_buckets:
+            raise ValueError(
+                f"resume conflict: bucket {b} committed with "
+                f"n_buckets={row.get('n_buckets')}, invoked with {n_buckets}"
+            )
+        if row.get("filter", filter_method) != filter_method:
+            raise ValueError(
+                f"resume conflict: bucket {b} committed with filter="
+                f"{row.get('filter')}, this input implies {filter_method}"
+            )
+        if row.get("mode", mode) != mode or row.get("profile", profile) != profile:
+            import warnings
+
+            warnings.warn(
+                f"bucket {b} committed with mode={row.get('mode')}/"
+                f"profile={row.get('profile')}; resuming with {mode}/{profile}",
+                stacklevel=2,
+            )
+    media_has_bucket = "bucket" in media_df.columns
     processed = []
     skipped = sorted(done)
     t_start = time.time()
@@ -112,16 +160,23 @@ def run_extraction_job(
         if max_buckets is not None and len(processed) >= max_buckets:
             break
         attempt = _attempt_number(out_dir, b)
+        # media prunes on the owner-doc bucket it was ingested with —
+        # without this the (PNG-heavy) media table re-scans per bucket
+        media_b = (
+            media_df.filter(bucket_filter(media_df, n_buckets, b))
+            if media_has_bucket
+            else media_df
+        )
         result = run_pipeline(
             spark,
             docs_df,
-            media_df,
+            media_b,
             profile=profile,
             mode=mode,
             run_id=run_id,
             attempt=attempt,
             docs_path=docs_path,
-            docs_filter=bucket_expr(n_buckets) == b,
+            docs_filter=bucket_filter(docs_df, n_buckets, b),
             **pipeline_kw,
         )
         bucket_path = os.path.join(out_dir, f"bucket={b}")
@@ -142,6 +197,7 @@ def run_extraction_job(
                 "run_id": run_id,
                 "bucket": b,
                 "n_buckets": n_buckets,
+                "filter": filter_method,
                 "attempt": attempt,
                 "n_docs": int(stats["n_docs"] or 0),
                 "n_spans": int(stats["n_spans"] or 0),

@@ -4,16 +4,35 @@ The corpus is written with pyarrow (driver-side, small scales only — at
 real scale the documents/media tables already exist as Iceberg/parquet);
 Spark and the single-process oracle then read the *same bytes*, so
 span-sequence equality tests see identical inputs.
+
+Layout: documents and media are hive-partitioned by a `bucket` column
+(portable md5 hash of the owning doc_id, LAYOUT_BUCKETS partitions).
+This is the resume-prunability contract (VERDICT r1 #3): the checkpoint
+loop's per-bucket filter becomes a *partition* filter, so a resume scan
+reads 1/n of the input instead of re-scanning the whole corpus once per
+bucket. Media rows carry their owning doc's bucket so the media scan
+prunes identically.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ocr_spark.fixtures import build_corpus
+
+# number of layout partitions; any runtime n_buckets works (each doc
+# lands in exactly one pmod(bucket, n) class), but hash-fallback
+# consistency additionally needs LAYOUT_BUCKETS % n_buckets == 0
+LAYOUT_BUCKETS = 8
+
+# bump when the corpus layout or fixture generator changes expected bytes
+# (cached /tmp corpora from older builds must not be reused)
+CORPUS_VERSION = "v2"
 
 SPAN_ARROW = pa.struct(
     [
@@ -24,7 +43,11 @@ SPAN_ARROW = pa.struct(
     ]
 )
 DOCS_ARROW = pa.schema(
-    [("doc_id", pa.string()), ("spans", pa.list_(SPAN_ARROW))]
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_ARROW)),
+        ("bucket", pa.int32()),
+    ]
 )
 MEDIA_ARROW = pa.schema(
     [
@@ -32,8 +55,17 @@ MEDIA_ARROW = pa.schema(
         ("png", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        ("bucket", pa.int32()),
     ]
 )
+
+
+def bucket_of(doc_id: str, n_buckets: int = LAYOUT_BUCKETS) -> int:
+    """Portable doc -> bucket hash: identical in Python (this), Spark
+    (`pmod(conv(substring(md5(doc_id),1,15),16,10), n)`, see
+    checkpoint.bucket_expr) and any other engine with md5. 60 bits of
+    the md5 avoids int64 overflow in Spark's conv()."""
+    return int(hashlib.md5(doc_id.encode()).hexdigest()[:15], 16) % n_buckets
 
 
 def write_corpus_parquet(
@@ -42,8 +74,11 @@ def write_corpus_parquet(
     seed: int = 42,
     skew_monster_spans: int = 120,
     row_group_docs: int = 512,
+    layout_buckets: int = LAYOUT_BUCKETS,
 ) -> tuple[str, str]:
-    """Generate the deterministic corpus and write documents/media parquet.
+    """Generate the deterministic corpus and write documents/media parquet,
+    hive-partitioned by `bucket` (pass layout_buckets=0 for the legacy
+    single-file layout).
 
     Returns (docs_path, media_path)."""
     docs, media = build_corpus(
@@ -53,19 +88,80 @@ def write_corpus_parquet(
     docs_path = os.path.join(out_dir, "documents.parquet")
     media_path = os.path.join(out_dir, "media.parquet")
 
-    docs_tbl = pa.Table.from_pylist(
-        [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs],
-        schema=DOCS_ARROW,
+    if not layout_buckets:
+        docs_tbl = pa.Table.from_pylist(
+            [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs],
+            schema=pa.schema([f for f in DOCS_ARROW if f.name != "bucket"]),
+        )
+        media_tbl = pa.Table.from_pylist(
+            [{k: m[k] for k in ("media_ref", "png", "width", "height")} for m in media],
+            schema=pa.schema([f for f in MEDIA_ARROW if f.name != "bucket"]),
+        )
+        pq.write_table(docs_tbl, docs_path, row_group_size=row_group_docs)
+        pq.write_table(media_tbl, media_path, row_group_size=256)
+        return docs_path, media_path
+
+    doc_bucket = {d["doc_id"]: bucket_of(d["doc_id"], layout_buckets) for d in docs}
+    # media inherits the owning doc's bucket so per-bucket runs prune
+    # the media scan too (every fixture media_ref has exactly one owner)
+    ref_bucket: dict[str, int] = {}
+    for d in docs:
+        for s in d["spans"]:
+            if s["media_ref"]:
+                ref_bucket[s["media_ref"]] = doc_bucket[d["doc_id"]]
+    def _write_partitioned(rows, schema, root, row_group_size):
+        # deterministic hive layout: root/bucket=N/part-0.parquet
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r["bucket"], []).append(
+                {k: v for k, v in r.items() if k != "bucket"}
+            )
+        part_schema = pa.schema([f for f in schema if f.name != "bucket"])
+        for b, part in sorted(by_bucket.items()):
+            pdir = os.path.join(root, f"bucket={b}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(part, schema=part_schema),
+                os.path.join(pdir, "part-0.parquet"),
+                row_group_size=row_group_size,
+            )
+
+    _write_partitioned(
+        [
+            {"doc_id": d["doc_id"], "spans": d["spans"], "bucket": doc_bucket[d["doc_id"]]}
+            for d in docs
+        ],
+        DOCS_ARROW, docs_path, row_group_docs,
     )
-    media_tbl = pa.Table.from_pylist(media, schema=MEDIA_ARROW)
-    pq.write_table(docs_tbl, docs_path, row_group_size=row_group_docs)
     # media rows carry PNGs; small row groups keep Spark input splits balanced
-    pq.write_table(media_tbl, media_path, row_group_size=256)
+    _write_partitioned(
+        [{**m, "bucket": ref_bucket.get(m["media_ref"], 0)} for m in media],
+        MEDIA_ARROW, media_path, 256,
+    )
     return docs_path, media_path
 
 
 def read_corpus(spark, corpus_dir: str):
-    """(documents, media) DataFrames from a corpus dir."""
+    """(documents, media) DataFrames from a corpus dir. With the
+    partitioned layout both frames carry the int `bucket` partition
+    column (harmless to the pipeline, load-bearing for resume)."""
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
     media = spark.read.parquet(os.path.join(corpus_dir, "media.parquet"))
     return docs, media
+
+
+def fixture_corpus_dir(n_docs: int, skew_spans: int = 24) -> str:
+    """Deterministic fixture corpus parquet under /tmp, cached per size.
+
+    Lives here (not in __spark_entry__) so library code never imports the
+    driver shim (VERDICT r1 #10)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_corpus_{CORPUS_VERSION}_n{n_docs}_s{skew_spans}",
+    )
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        write_corpus_parquet(d, n_docs=n_docs, skew_monster_spans=skew_spans)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d

@@ -137,16 +137,19 @@ def make_sessionize_state_fn(gap_s: int = 1800):
             start_us = last_us = None
             n = 0
         closed = []
-        for pdf in pdfs:
-            for ts in sorted(_to_us(t) for t in pdf["ts"]):
-                if start_us is None:
-                    start_us, last_us, n = ts, ts, 1
-                elif ts - last_us > gap_us:
-                    closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))
-                    start_us, last_us, n = ts, ts, 1
-                else:
-                    last_us = max(last_us, ts)
-                    n += 1
+        # Sort across ALL Arrow chunks before the gap scan: a group whose
+        # micro-batch spans multiple chunks may deliver an earlier timestamp
+        # in a later chunk, which a per-chunk sort would merge into the
+        # wrong session.
+        for ts in sorted(_to_us(t) for pdf in pdfs for t in pdf["ts"]):
+            if start_us is None:
+                start_us, last_us, n = ts, ts, 1
+            elif ts - last_us > gap_us:
+                closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))
+                start_us, last_us, n = ts, ts, 1
+            else:
+                last_us = max(last_us, ts)
+                n += 1
         if state.hasTimedOut:
             if start_us is not None:
                 closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))

@@ -20,3 +20,17 @@ def test_query_matches_oracle(spark, name):
     r = compare_query(spark, SF_DIR, name, spec)
     assert r["ok"], r["detail"]
     assert r["rows"] > 0, "query returned no rows"
+
+
+@pytest.mark.parametrize("name", ["events_sessionize", "events_rollup"])
+def test_timestamp_queries_survive_foreign_session_tz(spark, name):
+    """The driver's session may not be UTC; the timestamp queries pin the
+    session TZ themselves, so the oracle hash must stay green even when
+    the harness session starts in another zone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        r = compare_query(spark, SF_DIR, name, _SPECS[name])
+        assert r["ok"], r["detail"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

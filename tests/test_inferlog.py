@@ -31,6 +31,12 @@ def test_debug_lines_dropped_inside_text():
     assert parse_infer_output(raw) == "keep\nalso keep"
 
 
+def test_tab_indented_debug_lines_dropped():
+    # str.strip() strips tabs too — tab-indented debug lines must drop
+    raw = f"{M}\n{M}\nkeep\n\tBASE: x\n\t PATCHES: y\nalso keep\n{B}\n"
+    assert parse_infer_output(raw) == "keep\nalso keep"
+
+
 def test_no_markers_yields_empty():
     assert parse_infer_output("plain\ntext") == ""
 
@@ -61,6 +67,7 @@ def test_python_matches_duckdb_oracle():
         "two\nlines here",
         "with\n\nblank paragraph",
         "BASE: looks like debug\nreal text",
+        "\tBASE: tab-indented debug\nreal text",
         "ends with marker-ish ===============",  # breaker inside payload
         "",
     ]
@@ -89,6 +96,7 @@ def test_spark_matches_python(spark):
         "plain text no markers",
         f"{M}\n{B}\n{M}\nnever",
         f"{M}\n{M}\n\n\nmid\n\n\nsave results",
+        f"{M}\n{M}\nkeep\n\tBASE: tab debug\n\t PATCHES: y\nalso keep\n{B}\n",
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "id int, raw string"

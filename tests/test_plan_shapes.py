@@ -60,3 +60,44 @@ def test_text_branch_stays_jvm_side(spark, corpus_dir):
     plan = _plan(_non_media_branch(_span_rows(docs)))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_resume_bucket_filter_is_partition_filter(spark, corpus_dir):
+    """The per-bucket resume predicate must prune at the PARTITION level
+    (VERDICT r1 #3): a post-scan hash filter re-reads the whole corpus
+    once per bucket — a 256x read amplification at the design point."""
+    from ocr_spark.spark.checkpoint import bucket_filter
+    from ocr_spark.spark.corpus import read_corpus
+
+    docs, media = read_corpus(spark, corpus_dir)
+    for df in (docs, media):
+        flt = bucket_filter(df, 4, 1)
+        plan = df.filter(flt)._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "FileScan" in l]
+        assert scan, plan
+        for line in scan:
+            assert "PartitionFilters: [" in line, line
+            pf = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+            assert "pmod" in pf and "bucket" in pf, line
+            df_part = line.split("DataFilters: [", 1)[1].split("]", 1)[0]
+            assert "bucket" not in df_part, line
+
+
+def test_bucket_column_agrees_with_hash_fallback(spark, corpus_dir):
+    """Layout bucket column (python md5 at write time) == bucket_expr
+    (Spark md5 at read time) for every doc, so hash-fallback inputs and
+    partitioned inputs assign identical buckets (layout % n == 0)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.spark.checkpoint import bucket_expr
+    from ocr_spark.spark.corpus import LAYOUT_BUCKETS, read_corpus
+
+    docs, _media = read_corpus(spark, corpus_dir)
+    n = LAYOUT_BUCKETS
+    bad = docs.filter(F.col("bucket") != bucket_expr(n)).count()
+    assert bad == 0
+    # runtime n dividing the layout keeps the two methods equivalent
+    bad4 = docs.filter(
+        F.pmod(F.col("bucket"), F.lit(4)) != bucket_expr(4)
+    ).count()
+    assert bad4 == 0

@@ -158,3 +158,24 @@ def test_oversize_payload_cap_skips(spark, corpus_dir):
         F.sum("metrics.skipped").alias("s"),
     ).collect()[0]
     assert r["m"] > 0 and r["m"] == r["s"]
+
+
+def test_resume_rejects_bucket_count_change(spark, corpus_dir, tmp_path):
+    """Rerunning an out_dir with a different --buckets must fail fast:
+    bucket ids would map to different doc subsets (docs silently dropped
+    and duplicated)."""
+    import pytest as _pytest
+
+    from ocr_spark.spark.checkpoint import run_extraction_job
+
+    docs, media = read_corpus(spark, corpus_dir)
+    out_dir = str(tmp_path / "extracted")
+    run_extraction_job(
+        spark, docs, media, out_dir, run_id="r1", n_buckets=4, max_buckets=1,
+        span_partitions=8,
+    )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        run_extraction_job(
+            spark, docs, media, out_dir, run_id="r2", n_buckets=8,
+            span_partitions=8,
+        )

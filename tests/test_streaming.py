@@ -6,19 +6,22 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 
 
 def test_stream_extract_matches_oracle(spark, corpus_dir, oracle_extracted, tmp_path):
     from ocr_spark.spark.streaming import stream_extract
 
+    import pyarrow.parquet as pq
+
     in_dir = str(tmp_path / "incoming")
     os.makedirs(in_dir)
-    # the corpus parquet arrives as one file "drop"
-    shutil.copy(
+    # the corpus (a bucket-partitioned dataset) arrives as one file "drop";
+    # drop the layout-only bucket column for the stream's flat schema
+    tbl = pq.read_table(
         os.path.join(corpus_dir, "documents.parquet"),
-        os.path.join(in_dir, "part-0001.parquet"),
+        columns=["doc_id", "spans"],
     )
+    pq.write_table(tbl, os.path.join(in_dir, "part-0001.parquet"))
     media = spark.read.parquet(os.path.join(corpus_dir, "media.parquet"))
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
