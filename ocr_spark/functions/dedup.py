@@ -212,7 +212,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, length-bucket) — the cheap-blocking alternative to MinHash
     when a natural partition attribute exists; the block key is also the
     join key, so at scale this is a co-partitioned self-join, never an
-    all-pairs."""
+    all-pairs.
+
+    Adjacent-bucket probing (VERDICT r1 #7): the probing side explodes
+    its key to lb-1/lb/lb+1, so near-dups whose lengths straddle a
+    bucket boundary are still candidates — a union of three key-joins,
+    never all-pairs. Each qualifying pair matches exactly one probe key
+    (a's probe hitting b's lb with doc_a < doc_b), so no dedup step."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "n_chars")
@@ -232,11 +238,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LEN_BUCKET).cast("long").alias("lb"),
         grams.alias("grams"),
     )
-    a, b = t.alias("a"), t.alias("b")
+    a = t.withColumn(
+        "probe_lb",
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)),
+    ).alias("a")
+    b = t.alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.probe_lb") == F.col("b.lb"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -266,7 +276,8 @@ WITH t AS (
                          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
                     ELSE 1.0 END, 6) AS jaccard
   FROM t a JOIN t b
-    ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
+    ON a.source = b.source AND b.lb IN (a.lb - 1, a.lb, a.lb + 1)
+       AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= {JACCARD_MIN}
 """

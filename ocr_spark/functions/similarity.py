@@ -237,6 +237,36 @@ IVF_NPROBE = 2
 IVF_TOPK = 5
 
 
+def ivf_assign_col(centroids: list[tuple[int, list[float]]], emb_col: str) -> Column:
+    """Map-side inverted-list assignment: nearest of K literal centroids
+    as a single projection expression — no join, no window, no Exchange
+    of the embedding corpus (VERDICT r1 #4). Semantics match the oracle
+    window `ORDER BY csim DESC (NULLS LAST), cid ASC` exactly: strict
+    `>` keeps the lowest cid on ties, non-null beats null, and the
+    all-null case falls back to the first (lowest-cid) centroid."""
+    entries = F.array(
+        *[
+            F.struct(
+                _cos(F.col(emb_col), F.array(*[F.lit(float(v)) for v in ce])).alias(
+                    "csim"
+                ),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, ce in centroids
+        ]
+    )
+    best = F.aggregate(
+        F.slice(entries, 2, len(centroids) - 1),
+        F.element_at(entries, 1),
+        lambda acc, e: F.when(
+            e["csim"].isNotNull()
+            & (acc["csim"].isNull() | (e["csim"] > acc["csim"])),
+            e,
+        ).otherwise(acc),
+    )
+    return best["cid"]
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: every vector is assigned to its nearest coarse
     centroid (inverted lists); a query probes its IVF_NPROBE nearest
@@ -244,17 +274,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     first K vectors — deterministic and SQL-checkable; swapping in
     k-means centroids changes recall, not the plan shape. At scale the
     list id is the partition key: the probe is a centroid-key join,
-    never a corpus scan."""
+    never a corpus scan.
+
+    The K centroids are collected driver-side (K tiny rows — at real
+    scale the quantizer is a trained artifact loaded by the driver
+    anyway) and inlined as literals, so corpus list-assignment is a pure
+    map-side projection instead of a join + per-vector window."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
+    centroids = sorted(
+        (
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < IVF_K)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
     cent = F.broadcast(
-        emb.filter(F.col("vec_id") < IVF_K).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        spark.createDataFrame(
+            [(cid, ce) for cid, ce in centroids], "cid int, ce array<float>"
         )
     )
 
     def assign(df, id_col, emb_col, n_keep):
+        # query-side probe: the window shuffles only the (tiny) query set
         scored = df.join(cent).select(
             id_col,
             "cid",
@@ -267,8 +311,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, "cid", "crank")
         )
 
-    lists = assign(emb, "vec_id", "embedding", 1).join(emb, "vec_id").select(
-        "cid", "vec_id", "embedding"
+    lists = emb.select(
+        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
     )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

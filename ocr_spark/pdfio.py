@@ -24,7 +24,21 @@ from ocr_spark.imaging import kernels as K
 from ocr_spark.imaging.png import decode_png, encode_png
 
 _MAGIC = b"SPDF1\n"
+_PDF_MAGIC = b"%PDF-"
 BASE_DPI = 72.0
+
+
+def _fitz():
+    """Feature-detected PyMuPDF: real %PDF- payloads parse/render when
+    fitz is installed (the reference's own renderer,
+    pdf_service.py:61-143); in this container it is absent and real PDFs
+    degrade to counted skips, never exceptions."""
+    try:
+        import fitz  # type: ignore
+
+        return fitz
+    except ImportError:
+        return None
 
 
 def encode_pdf(pages: list[np.ndarray], metadata: dict | None = None) -> bytes:
@@ -41,11 +55,25 @@ def encode_pdf(pages: list[np.ndarray], metadata: dict | None = None) -> bytes:
 
 
 def is_pdf(data: bytes) -> bool:
-    return data[:6] == _MAGIC
+    """True for the SPDF stand-in container OR a real %PDF- stream."""
+    return data[:6] == _MAGIC or data[: len(_PDF_MAGIC)] == _PDF_MAGIC
 
 
 def pdf_metadata(data: bytes) -> dict:
     """Metadata probe: page_count + stored metadata (pdf_service.py:182-214)."""
+    if data[: len(_PDF_MAGIC)] == _PDF_MAGIC:
+        fitz = _fitz()
+        if fitz is None:
+            raise ValueError(
+                "real PDF metadata requires PyMuPDF (not installed)"
+            )
+        doc = fitz.open(stream=data, filetype="pdf")
+        try:
+            meta = {k: v for k, v in (doc.metadata or {}).items() if v}
+            meta["page_count"] = doc.page_count
+            return meta
+        finally:
+            doc.close()
     pages, meta = _parse(data, decode_pages=False)
     meta = dict(meta)
     meta["page_count"] = pages
@@ -77,6 +105,26 @@ def render_pages(data: bytes, dpi: int = 300) -> list[np.ndarray]:
     """Render every page at the requested DPI, zoom = dpi/72
     (pdf_service.py:102-113).  Page order is the stored order; the caller
     assigns span offsets from it (tasks.py:182-204)."""
+    if data[: len(_PDF_MAGIC)] == _PDF_MAGIC:
+        fitz = _fitz()
+        if fitz is None:
+            raise ValueError(
+                "real PDF rendering requires PyMuPDF (not installed)"
+            )
+        doc = fitz.open(stream=data, filetype="pdf")
+        try:
+            # zoom matrix exactly as the reference (pdf_service.py:106-109)
+            mat = fitz.Matrix(dpi / BASE_DPI, dpi / BASE_DPI)
+            out = []
+            for page in doc:
+                pix = page.get_pixmap(matrix=mat, alpha=False)
+                arr = np.frombuffer(pix.samples, dtype=np.uint8).reshape(
+                    pix.height, pix.width, pix.n
+                )
+                out.append(arr[:, :, 0].copy() if pix.n == 1 else arr.copy())
+            return out
+        finally:
+            doc.close()
     page_blobs, _meta = _parse(data)
     zoom = dpi / BASE_DPI
     out = []

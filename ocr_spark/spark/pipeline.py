@@ -241,19 +241,45 @@ def _media_branch_staged(
     return _finish_branch(out)
 
 
+# hybrid routing thresholds: the staged path pays a raw-bytes chunk
+# shuffle per span, so it must only take spans whose single-task cost
+# would pin an executor. A 2-5 page small pdf extracts in-task faster
+# than its chunk rows shuffle (measured: hybrid ~= staged when ALL pdfs
+# went staged); a 500-page or multi-MB pdf is exactly the skew monster
+# the fan-out exists for.
+PDF_STAGED_MIN_PAGES = 8
+PDF_STAGED_MIN_BYTES = 4 << 20
+
+_SPDF_MAGIC = b"SPDF1\n"
+
+
+def _pdf_page_count_col() -> "F.Column":
+    """SPDF page count parsed from the container header with pure
+    Catalyst (bytes 7-10, big-endian u32 — pdfio.encode_pdf): hex the
+    4-byte slice, conv base16 -> base10. NULL for non-SPDF payloads."""
+    is_spdf = F.expr("substring(png, 1, 6)") == F.lit(_SPDF_MAGIC)
+    count = F.conv(F.hex(F.expr("substring(png, 7, 4)")), 16, 10).cast("long")
+    return F.when(is_spdf, count)
+
+
 def _media_branch_hybrid(
     media_in: DataFrame,
     profile: EngineProfile,
     chunk_partitions: int | None,
 ) -> DataFrame:
-    """Route by stored media dimensions: spans that will split (or are
-    pdfs) take the staged chunk-level path; everything else takes the
-    fused path. Any routing is semantics-preserving (both paths are
-    oracle-equal); this one puts the staged overhead only where its
-    skew-defeating fan-out pays."""
+    """Route by estimated per-span work: spans that will split, or pdfs
+    whose page count x size makes one task a straggler, take the staged
+    chunk-level path; everything else (including small few-page pdfs)
+    takes the fused path. Any routing is semantics-preserving (both
+    paths are oracle-equal); this one puts the staged overhead only
+    where its skew-defeating fan-out pays."""
     sp = profile.split
+    pdf_heavy = (F.col("kind") == "pdf") & (
+        (_pdf_page_count_col() >= PDF_STAGED_MIN_PAGES)
+        | (F.length("png") > PDF_STAGED_MIN_BYTES)
+    )
     heavy = (
-        (F.col("kind") == "pdf")
+        pdf_heavy
         | (F.col("width").cast("long") * F.col("height") > int(sp.max_megapixels * 1e6))
         | (F.greatest("width", "height") > sp.max_dimension)
     )

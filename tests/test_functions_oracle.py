@@ -34,3 +34,34 @@ def test_timestamp_queries_survive_foreign_session_tz(spark, name):
         assert r["ok"], r["detail"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
+    """Two near-identical docs whose lengths straddle a LEN_BUCKET
+    boundary must be candidates (adjacent-bucket probing), and the query
+    must still match its oracle on the crafted corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import LEN_BUCKET, QUERIES
+
+    base = "x" * (LEN_BUCKET - 2)          # lb = 0 (len 126)
+    near = base + "yyyy"                   # lb = 1 (len 130), high overlap
+    far = "z" * 50                         # different content, lb = 0
+    rows = [
+        {"doc_id": 1, "source": "s", "text": base, "n_chars": len(base)},
+        {"doc_id": 2, "source": "s", "text": near, "n_chars": len(near)},
+        {"doc_id": 3, "source": "s", "text": far, "n_chars": len(far)},
+    ]
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["dedup_ngram_jaccard"]
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spec.fn(spark, str(d)).collect()
+    }
+    assert (1, 2) in got, got  # the straddling pair is found
+    r = compare_query(spark, str(d), "dedup_ngram_jaccard", spec)
+    assert r["ok"], r["detail"]

@@ -39,3 +39,42 @@ def test_reject_garbage():
     assert not is_pdf(b"junk")
     with pytest.raises(ValueError):
         render_pages(b"junk")
+
+
+def test_real_pdf_magic_recognized():
+    from ocr_spark.pdfio import is_pdf
+
+    assert is_pdf(b"%PDF-1.7\nrest of stream")
+    assert not is_pdf(b"not a pdf at all")
+
+
+def test_real_pdf_without_fitz_becomes_counted_skip():
+    """A %PDF- payload must degrade to a skip (never an exception) when
+    PyMuPDF is absent; when fitz IS present it must render instead."""
+    from ocr_spark.core import process_pdf_bytes
+    from ocr_spark.config import get_profile
+    from ocr_spark.pdfio import _fitz
+
+    fake_pdf = b"%PDF-1.4\n1 0 obj\n<<>>\nendobj\ntrailer\n<<>>\n%%EOF"
+    res = process_pdf_bytes(fake_pdf, get_profile("default"))
+    if _fitz() is None:
+        assert res.skipped
+    # with fitz the minimal stream may parse to 0 pages or skip —
+    # either way no exception reaches the caller
+
+
+def test_real_pdf_roundtrip_under_fitz():
+    import pytest as _pytest
+
+    from ocr_spark.pdfio import _fitz, pdf_metadata, render_pages
+
+    fitz = _fitz()
+    if fitz is None:
+        _pytest.skip("PyMuPDF not installed in this container")
+    doc = fitz.open()
+    doc.new_page(width=72, height=72)
+    data = doc.tobytes()
+    meta = pdf_metadata(data)
+    assert meta["page_count"] == 1
+    pages = render_pages(data, dpi=144)
+    assert pages[0].shape[:2] == (144, 144)  # zoom = 144/72 = 2x

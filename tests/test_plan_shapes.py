@@ -101,3 +101,28 @@ def test_bucket_column_agrees_with_hash_fallback(spark, corpus_dir):
         F.pmod(F.col("bucket"), F.lit(4)) != bucket_expr(4)
     ).count()
     assert bad4 == 0
+
+
+def test_ivf_list_assignment_is_map_side(spark):
+    """Corpus list-assignment must be a projection over the embeddings
+    scan — no Exchange, no Window (VERDICT r1 #4): the r1 join+window
+    version shuffled the whole corpus to argmax over 16 centroids."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import load
+    from ocr_spark.functions.similarity import IVF_K, ivf_assign_col
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lists = emb.select(
+        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
+    )
+    plan = _plan(lists)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
