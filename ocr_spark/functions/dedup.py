@@ -215,10 +215,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs.
 
     Adjacent-bucket probing (VERDICT r1 #7): the probing side explodes
-    its key to lb-1/lb/lb+1, so near-dups whose lengths straddle a
-    bucket boundary are still candidates — a union of three key-joins,
-    never all-pairs. Each qualifying pair matches exactly one probe key
-    (a's probe hitting b's lb with doc_a < doc_b), so no dedup step."""
+    its key to lb/lb+1, so near-dups whose lengths straddle a bucket
+    boundary are still candidates — a union of two key-joins, never
+    all-pairs. Same-bucket pairs keep the doc_id< asymmetry; cross-bucket
+    pairs are unique by bucket asymmetry (only the lower bucket probes
+    upward), so each qualifying pair matches exactly one probe key and
+    the output canonicalizes to (least, greatest) — no dedup step, and
+    only 2x (not 3x) of the gram payload crosses the shuffle."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "n_chars")
@@ -237,26 +240,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / LEN_BUCKET).cast("long").alias("lb"),
         grams.alias("grams"),
-    )
+    ).withColumn("ng", F.size("grams"))
     a = t.withColumn(
         "probe_lb",
-        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)),
+        F.explode(F.array(F.col("lb"), F.col("lb") + 1)),
     ).alias("a")
     b = t.alias("b")
+    same_bucket = F.col("b.lb") == F.col("a.lb")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.probe_lb") == F.col("b.lb"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (
+            (same_bucket & (F.col("a.doc_id") < F.col("b.doc_id")))
+            | ~same_bucket
+        ),
     )
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(1.0))
+    # grams are per-doc distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|:
+    # one array op per pair instead of two (the per-pair set ops dominate
+    # this query's cost; the sizes ride along as ints). Materialized in
+    # its own projection so the 3 downstream references don't re-inline
+    # the array_intersect (CollapseProject keeps non-cheap multi-ref
+    # expressions hoisted).
+    scored = pairs.select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        (F.col("a.ng") + F.col("b.ng")).alias("n_total"),
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias(
+            "inter"
+        ),
+    )
+    union = F.col("n_total") - F.col("inter")
+    jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(
+        F.lit(1.0)
+    )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+        scored.select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )

@@ -237,34 +237,88 @@ IVF_NPROBE = 2
 IVF_TOPK = 5
 
 
+def _norm(vec: list[float]) -> float:
+    """sqrt of the left-fold self-dot in IEEE doubles — bit-identical to
+    sqrt(_dot(v, v)) evaluated by Spark/DuckDB on the same values."""
+    import math
+
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
 def ivf_assign_col(centroids: list[tuple[int, list[float]]], emb_col: str) -> Column:
     """Map-side inverted-list assignment: nearest of K literal centroids
     as a single projection expression — no join, no window, no Exchange
     of the embedding corpus (VERDICT r1 #4). Semantics match the oracle
     window `ORDER BY csim DESC (NULLS LAST), cid ASC` exactly: strict
     `>` keeps the lowest cid on ties, non-null beats null, and the
-    all-null case falls back to the first (lowest-cid) centroid."""
-    entries = F.array(
-        *[
-            F.struct(
-                _cos(F.col(emb_col), F.array(*[F.lit(float(v)) for v in ce])).alias(
-                    "csim"
+    all-null case falls back to the first (lowest-cid) centroid.
+
+    Cost discipline: ONE self-dot per row (the caller materializes the
+    row norm in a separate projection — see ivf_lists — so it is not
+    re-inlined per centroid) + one dot per centroid; centroid norms are
+    Python-precomputed doubles (same left-fold order, so the csim values
+    stay bit-identical to the oracle's sqrt(dot(c,c)))."""
+    cent_norms = [(int(cid), _norm(ce)) for cid, ce in centroids]
+    first_cid = cent_norms[0][0]
+
+    def best_cid(na: Column) -> Column:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.when(
+                            (na * F.lit(nc)) > 0,
+                            _dot(
+                                F.col(emb_col),
+                                F.array(*[F.lit(float(v)) for v in ce]),
+                            )
+                            / (na * F.lit(nc)),
+                        ),
+                        6,
+                    ).alias("csim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for (cid, ce), (_, nc) in zip(centroids, cent_norms)
+            ]
+        )
+        # single fold over the array: entries is evaluated once; a null
+        # acc.cid marks "no baseline yet" so element 1 seeds the fold
+        init = F.struct(
+            F.lit(None).cast("double").alias("csim"),
+            F.lit(None).cast("int").alias("cid"),
+        )
+        best = F.aggregate(
+            entries,
+            init,
+            lambda acc, e: F.when(
+                acc["cid"].isNull()
+                | (
+                    e["csim"].isNotNull()
+                    & (acc["csim"].isNull() | (e["csim"] > acc["csim"]))
                 ),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, ce in centroids
-        ]
+                e,
+            ).otherwise(acc),
+        )
+        return F.coalesce(best["cid"], F.lit(first_cid))
+
+    return best_cid(F.col("_row_norm"))
+
+
+def ivf_lists(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cid, vec_id, embedding) inverted lists via map-side assignment.
+
+    Two-step projection on purpose: `_row_norm` referenced 16 times in
+    the assignment expression is non-cheap, so CollapseProject keeps it
+    materialized — one self-dot per row instead of one per centroid."""
+    with_norm = emb.withColumn(
+        "_row_norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-    best = F.aggregate(
-        F.slice(entries, 2, len(centroids) - 1),
-        F.element_at(entries, 1),
-        lambda acc, e: F.when(
-            e["csim"].isNotNull()
-            & (acc["csim"].isNull() | (e["csim"] > acc["csim"])),
-            e,
-        ).otherwise(acc),
+    return with_norm.select(
+        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
     )
-    return best["cid"]
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +365,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, "cid", "crank")
         )
 
-    lists = emb.select(
-        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
-    )
+    lists = ivf_lists(emb, centroids)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

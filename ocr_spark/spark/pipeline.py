@@ -145,22 +145,14 @@ def _media_branch_staged(
     profile: EngineProfile,
     chunk_partitions: int | None,
 ) -> DataFrame:
-    # only pdf spans need the Python render fan-out; plain media spans
-    # become single-page rows with a Catalyst projection (no Arrow hop)
-    pdf_pages = media_in.filter(F.col("kind") == "pdf").mapInPandas(
-        make_pdf_fanout(profile), S.PAGE_SCHEMA
-    )
-    media_pages = media_in.filter(F.col("kind") != "pdf").select(
-        "doc_id",
-        "offset",
-        "kind",
-        "media_ref",
-        F.when(F.col("png").isNull(), F.lit(-1)).otherwise(F.lit(0)).alias("page_idx"),
-        F.when(F.col("png").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("n_pages"),
-        "png",
-        F.col("png").isNull().alias("skipped"),
-    )
-    pages = media_pages.unionByName(pdf_pages)
+    # ONE consumption of media_in: make_pdf_fanout renders pdf spans to
+    # per-page rows and passes non-pdf spans through as single pages.
+    # (A Catalyst projection for the non-pdf rows would skip their Arrow
+    # hop, but as a second consumer of media_in it re-executes the whole
+    # scan+join+salt-shuffle subtree — filters push below the Exchange,
+    # the subtrees stop being identical, and ReuseExchange can't dedupe:
+    # measured, the extra full media scan costs more than the hop.)
+    pages = media_in.mapInPandas(make_pdf_fanout(profile), S.PAGE_SCHEMA)
     chunks = pages.mapInPandas(make_split_stage(profile), S.CHUNK_SCHEMA)
     # chunk-level rebalance: a 16-chunk page / 500-page pdf spreads out
     chunks = chunks.repartition(
@@ -241,14 +233,21 @@ def _media_branch_staged(
     return _finish_branch(out)
 
 
-# hybrid routing thresholds: the staged path pays a raw-bytes chunk
-# shuffle per span, so it must only take spans whose single-task cost
-# would pin an executor. A 2-5 page small pdf extracts in-task faster
-# than its chunk rows shuffle (measured: hybrid ~= staged when ALL pdfs
-# went staged); a 500-page or multi-MB pdf is exactly the skew monster
-# the fan-out exists for.
+# hybrid routing thresholds: the staged path pays a second media
+# scan+join plus a raw-bytes chunk shuffle, so it must only take spans
+# whose SINGLE-TASK cost would pin an executor (a straggler), not every
+# page that merely triggers the in-task splitter. Measured on the
+# 240-doc suite corpus (local[32]): staged over just the >2 MP pages
+# costs 19.7 s while fused over the WHOLE corpus costs 11.8 s — the
+# splitter trigger (2 MP) routed ~2 s spans to a path whose overhead
+# only amortizes on ~10x bigger spans. A 2 MP page extracts in-task in
+# ~1-3 s; the fan-out pays off around >=16 MP pages (~10x median task)
+# or >=8-page / multi-MB pdfs (the 500-page skew monster of the design
+# point).
 PDF_STAGED_MIN_PAGES = 8
 PDF_STAGED_MIN_BYTES = 4 << 20
+IMG_STAGED_MIN_PIXELS = 16_000_000
+IMG_STAGED_MAX_DIM = 8192
 
 _SPDF_MAGIC = b"SPDF1\n"
 
@@ -273,15 +272,14 @@ def _media_branch_hybrid(
     takes the fused path. Any routing is semantics-preserving (both
     paths are oracle-equal); this one puts the staged overhead only
     where its skew-defeating fan-out pays."""
-    sp = profile.split
     pdf_heavy = (F.col("kind") == "pdf") & (
         (_pdf_page_count_col() >= PDF_STAGED_MIN_PAGES)
         | (F.length("png") > PDF_STAGED_MIN_BYTES)
     )
     heavy = (
         pdf_heavy
-        | (F.col("width").cast("long") * F.col("height") > int(sp.max_megapixels * 1e6))
-        | (F.greatest("width", "height") > sp.max_dimension)
+        | (F.col("width").cast("long") * F.col("height") > IMG_STAGED_MIN_PIXELS)
+        | (F.greatest("width", "height") > IMG_STAGED_MAX_DIM)
     )
     base = ["doc_id", "kind", "media_ref", "offset", "png"]
     small = media_in.filter(~F.coalesce(heavy, F.lit(False))).select(*base)

@@ -110,7 +110,7 @@ def test_ivf_list_assignment_is_map_side(spark):
     from pyspark.sql import functions as F
 
     from ocr_spark.functions import load
-    from ocr_spark.functions.similarity import IVF_K, ivf_assign_col
+    from ocr_spark.functions.similarity import IVF_K, ivf_lists
 
     sf_dir = "/root/testdata/sf0.001"
     emb = load(spark, sf_dir, "embeddings")
@@ -120,9 +120,10 @@ def test_ivf_list_assignment_is_map_side(spark):
         .select("vec_id", "embedding")
         .collect()
     )
-    lists = emb.select(
-        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
-    )
+    lists = ivf_lists(emb, centroids)
     plan = _plan(lists)
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+    # the per-row norm must stay hoisted: exactly one _row_norm
+    # definition in the plan, not one inlined copy per centroid
+    assert plan.count("_row_norm") >= 1, plan
