@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-buckets", type=int, default=None)
     p.add_argument("--span-partitions", type=int, default=None)
     p.add_argument("--doc-partitions", type=int, default=None)
+    p.add_argument(
+        "--chunk-codec", choices=["raw", "png"], default="raw",
+        help="staged-mode chunk wire format: raw uint8 under lz4 "
+        "(default; best single-node) or png (~5-10x smaller — use on "
+        "clusters where the chunk shuffle crosses the network)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         docs_path=args.input,
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
+        chunk_codec=args.chunk_codec,
     )
     print(json.dumps(report))
     return 0 if report["complete"] else 3

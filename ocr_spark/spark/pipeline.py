@@ -144,6 +144,7 @@ def _media_branch_staged(
     media_in: DataFrame,
     profile: EngineProfile,
     chunk_partitions: int | None,
+    chunk_codec: str = "raw",
 ) -> DataFrame:
     # ONE consumption of media_in: make_pdf_fanout renders pdf spans to
     # per-page rows and passes non-pdf spans through as single pages.
@@ -153,12 +154,16 @@ def _media_branch_staged(
     # the subtrees stop being identical, and ReuseExchange can't dedupe:
     # measured, the extra full media scan costs more than the hop.)
     pages = media_in.mapInPandas(make_pdf_fanout(profile), S.PAGE_SCHEMA)
-    chunks = pages.mapInPandas(make_split_stage(profile), S.CHUNK_SCHEMA)
+    chunks = pages.mapInPandas(
+        make_split_stage(profile, chunk_codec), S.CHUNK_SCHEMA
+    )
     # chunk-level rebalance: a 16-chunk page / 500-page pdf spreads out
     chunks = chunks.repartition(
         chunk_partitions, "doc_id", "offset", "page_idx", "row", "col"
     )
-    chunk_texts = chunks.mapInPandas(make_extract_stage(profile), S.CHUNK_TEXT_SCHEMA)
+    chunk_texts = chunks.mapInPandas(
+        make_extract_stage(profile, chunk_codec), S.CHUNK_TEXT_SCHEMA
+    )
     page_texts = chunk_texts.groupBy("doc_id", "offset", "page_idx").applyInPandas(
         make_merge_group(profile), S.PAGE_TEXT_SCHEMA
     )
@@ -265,6 +270,7 @@ def _media_branch_hybrid(
     media_in: DataFrame,
     profile: EngineProfile,
     chunk_partitions: int | None,
+    chunk_codec: str = "raw",
 ) -> DataFrame:
     """Route by estimated per-span work: spans that will split, or pdfs
     whose page count x size makes one task a straggler, take the staged
@@ -285,7 +291,7 @@ def _media_branch_hybrid(
     small = media_in.filter(~F.coalesce(heavy, F.lit(False))).select(*base)
     big = media_in.filter(F.coalesce(heavy, F.lit(False))).select(*base)
     return _media_branch_fused(small, profile).unionByName(
-        _media_branch_staged(big, profile, chunk_partitions)
+        _media_branch_staged(big, profile, chunk_partitions, chunk_codec)
     )
 
 
@@ -386,6 +392,7 @@ def run_pipeline(
     docs_path: str | None = None,
     docs_filter=None,
     max_payload_bytes: int | None = None,
+    chunk_codec: str = "raw",
 ) -> DataFrame:
     """documents + media -> extracted (EXTRACTED_SCHEMA).
 
@@ -422,9 +429,13 @@ def run_pipeline(
     if mode == "fused":
         media_out = _media_branch_fused(media_in, profile)
     elif mode == "staged":
-        media_out = _media_branch_staged(media_in, profile, chunk_partitions)
+        media_out = _media_branch_staged(
+            media_in, profile, chunk_partitions, chunk_codec
+        )
     elif mode == "hybrid":
-        media_out = _media_branch_hybrid(media_in, profile, chunk_partitions)
+        media_out = _media_branch_hybrid(
+            media_in, profile, chunk_partitions, chunk_codec
+        )
     else:
         raise ValueError(f"unknown mode: {mode}")
     union = _non_media_branch(spans).unionByName(media_out)

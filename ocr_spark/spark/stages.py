@@ -171,9 +171,16 @@ def make_pdf_fanout(profile: EngineProfile, dpi: int = 300):
 # --------------------------------------------------------------------------
 
 
-def make_split_stage(profile: EngineProfile):
-    """mapInPandas fn: PAGE_SCHEMA rows -> CHUNK_SCHEMA rows."""
+def make_split_stage(profile: EngineProfile, chunk_codec: str = "raw"):
+    """mapInPandas fn: PAGE_SCHEMA rows -> CHUNK_SCHEMA rows.
+
+    chunk_codec="raw": chunk pixels ride the shuffle as uint8 bytes
+    (lz4 block compression); "png": zlib-encode each chunk before the
+    shuffle — ~5-10x smaller on mostly-white pages at extra CPU on both
+    sides of the shuffle. Measured comparison in BENCH/BASELINE.md; raw
+    is the default, png is the knob for shuffle-bound clusters."""
     pre_cfg = profile.preprocess
+    use_png = chunk_codec == "png"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -201,7 +208,10 @@ def make_split_stage(profile: EngineProfile):
                     out["chunk_w"].append(0)
                     out["chunk_ch"].append(0)
                 else:
-                    out["chunk_raw"].append(np.ascontiguousarray(img).tobytes())
+                    if use_png:
+                        out["chunk_raw"].append(encode_png(img))
+                    else:
+                        out["chunk_raw"].append(np.ascontiguousarray(img).tobytes())
                     out["chunk_h"].append(img.shape[0])
                     out["chunk_w"].append(img.shape[1])
                     out["chunk_ch"].append(1 if img.ndim == 2 else img.shape[2])
@@ -244,12 +254,13 @@ def make_split_stage(profile: EngineProfile):
 # --------------------------------------------------------------------------
 
 
-def make_extract_stage(profile: EngineProfile):
+def make_extract_stage(profile: EngineProfile, chunk_codec: str = "raw"):
     """mapInPandas fn: CHUNK_SCHEMA rows -> CHUNK_TEXT_SCHEMA rows.
 
     Per-chunk deskew is force-disabled — the global pass already aligned
     the page (/root/reference/app/ocr/processor.py:95-110)."""
     chunk_cfg = replace(profile.preprocess, auto_deskew=False)
+    use_png = chunk_codec == "png"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -268,12 +279,15 @@ def make_extract_stage(profile: EngineProfile):
                 if skipped[i] or raw is None:
                     steps[i] = list(gsteps[i]) if gsteps[i] is not None else []
                     continue
-                shape = (
-                    (int(hs[i]), int(ws[i]))
-                    if chs[i] == 1
-                    else (int(hs[i]), int(ws[i]), int(chs[i]))
-                )
-                img = np.frombuffer(raw, dtype=np.uint8).reshape(shape)
+                if use_png:
+                    img = decode_png(raw)
+                else:
+                    shape = (
+                        (int(hs[i]), int(ws[i]))
+                        if chs[i] == 1
+                        else (int(hs[i]), int(ws[i]), int(chs[i]))
+                    )
+                    img = np.frombuffer(raw, dtype=np.uint8).reshape(shape)
                 pres = preprocess(img, chunk_cfg)
                 text, conf = extract_text(pres.image)
                 texts[i] = text

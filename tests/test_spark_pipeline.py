@@ -179,3 +179,15 @@ def test_resume_rejects_bucket_count_change(spark, corpus_dir, tmp_path):
             spark, docs, media, out_dir, run_id="r2", n_buckets=8,
             span_partitions=8,
         )
+
+
+def test_staged_png_chunk_codec_matches_oracle(spark, corpus_dir, oracle_extracted):
+    """chunk_codec='png' (the network-shuffle wire format) must be
+    byte-equal to the default raw codec — both are lossless."""
+    docs, media = read_corpus(spark, corpus_dir)
+    out = run_pipeline(
+        spark, docs, media, mode="staged", run_id="t-png",
+        span_partitions=16, chunk_codec="png",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert_equals_oracle(rows, oracle_extracted)
