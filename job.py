@@ -30,8 +30,16 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="documents table path")
-    p.add_argument("--media", required=True, help="media table path")
+    p.add_argument(
+        "--input", required=True,
+        help="documents table: a parquet path, or 'table:<name>' for a "
+        "catalog table (e.g. an Iceberg table registered in the session "
+        "catalog — the production layout the engine is designed for)",
+    )
+    p.add_argument(
+        "--media", required=True,
+        help="media table: parquet path or 'table:<name>'",
+    )
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--run-id", required=True)
     p.add_argument("--buckets", type=int, default=256)
@@ -58,8 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     from ocr_spark.spark.checkpoint import run_extraction_job
 
     spark = SparkSession.builder.appName(f"ocr-extract-{args.run_id}").getOrCreate()
-    docs = spark.read.parquet(args.input)
-    media = spark.read.parquet(args.media)
+
+    def read_input(spec: str):
+        # catalog tables (Iceberg/Hive) read via the session catalog and
+        # keep their own partition/snapshot pruning; parquet paths get
+        # the docs_path pruned re-scan optimization instead
+        if spec.startswith("table:"):
+            return spark.read.table(spec[len("table:"):]), None
+        return spark.read.parquet(spec), spec
+
+    docs, docs_path = read_input(args.input)
+    media, _ = read_input(args.media)
     report = run_extraction_job(
         spark,
         docs,
@@ -70,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.profile,
         mode=args.mode,
         max_buckets=args.max_buckets,
-        docs_path=args.input,
+        docs_path=docs_path,
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
         chunk_codec=args.chunk_codec,
