@@ -32,7 +32,7 @@ LAYOUT_BUCKETS = 8
 
 # bump when the corpus layout or fixture generator changes expected bytes
 # (cached /tmp corpora from older builds must not be reused)
-CORPUS_VERSION = "v2"
+CORPUS_VERSION = "v3"
 
 SPAN_ARROW = pa.struct(
     [
@@ -56,6 +56,7 @@ MEDIA_ARROW = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("bucket", pa.int32()),
+        ("heavy", pa.int32()),
     ]
 )
 
@@ -93,13 +94,20 @@ def write_corpus_parquet(
             [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs],
             schema=pa.schema([f for f in DOCS_ARROW if f.name != "bucket"]),
         )
+        keep = ("media_ref", "png", "width", "height")
         media_tbl = pa.Table.from_pylist(
-            [{k: m[k] for k in ("media_ref", "png", "width", "height")} for m in media],
-            schema=pa.schema([f for f in MEDIA_ARROW if f.name != "bucket"]),
+            [{k: m[k] for k in keep} for m in media],
+            schema=pa.schema([f for f in MEDIA_ARROW if f.name in keep]),
         )
         pq.write_table(docs_tbl, docs_path, row_group_size=row_group_docs)
         pq.write_table(media_tbl, media_path, row_group_size=256)
         return docs_path, media_path
+
+    # ingest-time routing metadata: the hybrid extraction mode partitions
+    # its media scan on `heavy` (straggler classification), so each branch
+    # reads ONLY its own files — a pure function of the payload, computed
+    # once at write time (pipeline.media_is_heavy is the single source)
+    from ocr_spark.spark.pipeline import media_is_heavy
 
     doc_bucket = {d["doc_id"]: bucket_of(d["doc_id"], layout_buckets) for d in docs}
     # media inherits the owning doc's bucket so per-bucket runs prune
@@ -109,16 +117,20 @@ def write_corpus_parquet(
         for s in d["spans"]:
             if s["media_ref"]:
                 ref_bucket[s["media_ref"]] = doc_bucket[d["doc_id"]]
-    def _write_partitioned(rows, schema, root, row_group_size):
-        # deterministic hive layout: root/bucket=N/part-0.parquet
-        by_bucket: dict[int, list] = {}
+
+    def _write_partitioned(rows, schema, root, part_cols, row_group_size):
+        # deterministic hive layout: root/col1=v/col2=v/part-0.parquet
+        by_key: dict[tuple, list] = {}
         for r in rows:
-            by_bucket.setdefault(r["bucket"], []).append(
-                {k: v for k, v in r.items() if k != "bucket"}
+            key = tuple(r[c] for c in part_cols)
+            by_key.setdefault(key, []).append(
+                {k: v for k, v in r.items() if k not in part_cols}
             )
-        part_schema = pa.schema([f for f in schema if f.name != "bucket"])
-        for b, part in sorted(by_bucket.items()):
-            pdir = os.path.join(root, f"bucket={b}")
+        part_schema = pa.schema([f for f in schema if f.name not in part_cols])
+        for key, part in sorted(by_key.items()):
+            pdir = os.path.join(
+                root, *[f"{c}={v}" for c, v in zip(part_cols, key)]
+            )
             os.makedirs(pdir, exist_ok=True)
             pq.write_table(
                 pa.Table.from_pylist(part, schema=part_schema),
@@ -131,12 +143,19 @@ def write_corpus_parquet(
             {"doc_id": d["doc_id"], "spans": d["spans"], "bucket": doc_bucket[d["doc_id"]]}
             for d in docs
         ],
-        DOCS_ARROW, docs_path, row_group_docs,
+        DOCS_ARROW, docs_path, ["bucket"], row_group_docs,
     )
     # media rows carry PNGs; small row groups keep Spark input splits balanced
     _write_partitioned(
-        [{**m, "bucket": ref_bucket.get(m["media_ref"], 0)} for m in media],
-        MEDIA_ARROW, media_path, 256,
+        [
+            {
+                **m,
+                "bucket": ref_bucket.get(m["media_ref"], 0),
+                "heavy": int(media_is_heavy(m["png"], m["width"], m["height"])),
+            }
+            for m in media
+        ],
+        MEDIA_ARROW, media_path, ["bucket", "heavy"], 256,
     )
     return docs_path, media_path
 

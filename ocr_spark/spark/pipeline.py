@@ -111,6 +111,7 @@ def _media_input(
     span_partitions: int | None,
     max_payload_bytes: int | None = None,
     with_dims: bool = False,
+    how: str = "left",
 ) -> DataFrame:
     dim_cols = ["width", "height"] if with_dims else []
     m = media_df.select("media_ref", "png", *dim_cols)
@@ -126,13 +127,18 @@ def _media_input(
         m = F.broadcast(m)
     joined = (
         media_spans.filter(F.col("kind").isin(*MEDIA_KINDS))
-        .join(m, "media_ref", "left")
+        .join(m, "media_ref", how)
         .select("doc_id", "kind", "media_ref", "offset", "png", *dim_cols)
     )
     # span-level salt: a skew-monster doc's spans spread over the cluster.
     # Explicit partition count — AQE coalesces by *bytes*, but this stage's
     # cost is compute per image, so byte-based coalescing recreates skew.
-    return joined.repartition(span_partitions, "doc_id", "offset")
+    # span_partitions=None opts INTO AQE coalescing — right when row count
+    # is data-dependent and possibly tiny (the hybrid heavy branch), where
+    # fixed counts schedule hundreds of empty tasks.
+    if span_partitions:
+        return joined.repartition(span_partitions, "doc_id", "offset")
+    return joined.repartition("doc_id", "offset")
 
 
 def _media_branch_fused(media_in: DataFrame, profile: EngineProfile) -> DataFrame:
@@ -158,9 +164,15 @@ def _media_branch_staged(
         make_split_stage(profile, chunk_codec), S.CHUNK_SCHEMA
     )
     # chunk-level rebalance: a 16-chunk page / 500-page pdf spreads out
-    chunks = chunks.repartition(
-        chunk_partitions, "doc_id", "offset", "page_idx", "row", "col"
-    )
+    # (None -> AQE-coalesced, for data-dependent chunk volumes)
+    if chunk_partitions:
+        chunks = chunks.repartition(
+            chunk_partitions, "doc_id", "offset", "page_idx", "row", "col"
+        )
+    else:
+        chunks = chunks.repartition(
+            "doc_id", "offset", "page_idx", "row", "col"
+        )
     chunk_texts = chunks.mapInPandas(
         make_extract_stage(profile, chunk_codec), S.CHUNK_TEXT_SCHEMA
     )
@@ -257,6 +269,20 @@ IMG_STAGED_MAX_DIM = 8192
 _SPDF_MAGIC = b"SPDF1\n"
 
 
+def media_is_heavy(png: bytes | None, width: int, height: int) -> bool:
+    """Python twin of the hybrid routing predicate — used by the ingest
+    layout (corpus.write_corpus_parquet) to materialize `heavy` as a
+    partition column. Any classification is semantics-preserving (both
+    branches are oracle-equal); agreement with the Catalyst predicate
+    just keeps layout-routed and content-routed runs comparable."""
+    if png is not None and png[: len(_SPDF_MAGIC)] == _SPDF_MAGIC:
+        n_pages = int.from_bytes(png[6:10], "big")
+        if n_pages >= PDF_STAGED_MIN_PAGES or len(png) > PDF_STAGED_MIN_BYTES:
+            return True
+    w, h = int(width or 0), int(height or 0)
+    return w * h > IMG_STAGED_MIN_PIXELS or max(w, h) > IMG_STAGED_MAX_DIM
+
+
 def _pdf_page_count_col() -> "F.Column":
     """SPDF page count parsed from the container header with pure
     Catalyst (bytes 7-10, big-endian u32 — pdfio.encode_pdf): hex the
@@ -292,6 +318,75 @@ def _media_branch_hybrid(
     big = media_in.filter(F.coalesce(heavy, F.lit(False))).select(*base)
     return _media_branch_fused(small, profile).unionByName(
         _media_branch_staged(big, profile, chunk_partitions, chunk_codec)
+    )
+
+
+def _media_branch_hybrid_pruned(
+    media_spans: DataFrame,
+    media_df: DataFrame,
+    profile: EngineProfile,
+    chunk_codec: str,
+    broadcast_media: bool | None,
+    span_partitions: int | None,
+    max_payload_bytes: int | None,
+) -> DataFrame:
+    """Hybrid over the ingest-materialized `heavy` media partition
+    column: three branches, each scanning only its own bytes.
+
+    * light spans: inner-join the `heavy=0` partition (pruned scan) ->
+      fused UDF.
+    * heavy spans: inner-join the `heavy=1` partition (pruned scan) ->
+      staged fan-out.
+    * missing refs: payload-free anti-join (reads only media_ref) ->
+      counted-skip rows in pure Catalyst, exactly the rows the fused UDF
+      would emit for a null payload.
+
+    Unlike the content-routed fallback (below), the dominant media PNG
+    bytes are read exactly ONCE across branches — the two-branch plan's
+    structural extra scan is gone, so hybrid ~= fused on corpora with no
+    stragglers while keeping the fan-out where it pays."""
+    spans_m = media_spans.filter(F.col("kind").isin(*MEDIA_KINDS))
+    light_in = _media_input(
+        spans_m,
+        media_df.filter(F.col("heavy") == 0),
+        broadcast_media,
+        span_partitions,
+        max_payload_bytes,
+        how="inner",
+    )
+    # heavy branch: row count is data-dependent (often zero) and each row
+    # is payload-dominated, so AQE byte-coalescing both balances compute
+    # AND collapses the empty case to ~no tasks — explicit counts here
+    # scheduled hundreds of empty tasks (measured: 4 s for 0 rows)
+    heavy_in = _media_input(
+        spans_m,
+        media_df.filter(F.col("heavy") == 1),
+        broadcast_media,
+        None,
+        max_payload_bytes,
+        how="inner",
+    )
+    missing = spans_m.join(media_df.select("media_ref"), "media_ref", "left_anti")
+    miss_out = _finish_branch(
+        missing.select(
+            "doc_id",
+            "kind",
+            F.lit("").alias("text"),
+            "media_ref",
+            "offset",
+            F.lit(0.0).alias("confidence"),
+            F.array().cast("array<string>").alias("steps_applied"),
+            F.lit("none").alias("split_method"),
+            F.lit(True).alias("skipped"),
+            F.lit(0).cast("long").alias("elapsed_ms"),
+        )
+    )
+    return (
+        _media_branch_fused(light_in, profile)
+        .unionByName(
+            _media_branch_staged(heavy_in, profile, None, chunk_codec)
+        )
+        .unionByName(miss_out)
     )
 
 
@@ -418,25 +513,38 @@ def run_pipeline(
     chunk_partitions = chunk_partitions or spark.sparkContext.defaultParallelism * 2
     spans = _span_rows(docs_df)
     media_spans = _media_span_rows(spark, docs_df, docs_path, docs_filter)
-    media_in = _media_input(
-        media_spans,
-        media_df,
-        broadcast_media,
-        span_partitions,
-        max_payload_bytes,
-        with_dims=(mode == "hybrid"),
-    )
-    if mode == "fused":
-        media_out = _media_branch_fused(media_in, profile)
-    elif mode == "staged":
-        media_out = _media_branch_staged(
-            media_in, profile, chunk_partitions, chunk_codec
-        )
-    elif mode == "hybrid":
-        media_out = _media_branch_hybrid(
-            media_in, profile, chunk_partitions, chunk_codec
+    if mode == "hybrid" and "heavy" in media_df.columns:
+        # ingest layout carries the routing column: three-way plan with
+        # partition-pruned media scans (see _media_branch_hybrid_pruned)
+        media_out = _media_branch_hybrid_pruned(
+            media_spans,
+            media_df,
+            profile,
+            chunk_codec,
+            broadcast_media,
+            span_partitions,
+            max_payload_bytes,
         )
     else:
-        raise ValueError(f"unknown mode: {mode}")
+        media_in = _media_input(
+            media_spans,
+            media_df,
+            broadcast_media,
+            span_partitions,
+            max_payload_bytes,
+            with_dims=(mode == "hybrid"),
+        )
+        if mode == "fused":
+            media_out = _media_branch_fused(media_in, profile)
+        elif mode == "staged":
+            media_out = _media_branch_staged(
+                media_in, profile, chunk_partitions, chunk_codec
+            )
+        elif mode == "hybrid":
+            media_out = _media_branch_hybrid(
+                media_in, profile, chunk_partitions, chunk_codec
+            )
+        else:
+            raise ValueError(f"unknown mode: {mode}")
     union = _non_media_branch(spans).unionByName(media_out)
     return reassemble(union, run_id, attempt, doc_partitions)

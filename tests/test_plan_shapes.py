@@ -127,3 +127,35 @@ def test_ivf_list_assignment_is_map_side(spark):
     # the per-row norm must stay hoisted: exactly one _row_norm
     # definition in the plan, not one inlined copy per centroid
     assert plan.count("_row_norm") >= 1, plan
+
+
+def test_hybrid_pruned_media_scans(spark, corpus_dir):
+    """Layout-routed hybrid: each branch's media scan must prune on the
+    `heavy` partition column (payload bytes read once across branches),
+    and the missing-ref anti-join must never read png."""
+    import os
+
+    from ocr_spark.spark.corpus import read_corpus
+    from ocr_spark.spark.pipeline import run_pipeline
+
+    docs, media = read_corpus(spark, corpus_dir)
+    assert "heavy" in media.columns  # the ingest layout contract
+    df = run_pipeline(
+        spark, docs, media, mode="hybrid", run_id="ps",
+        docs_path=os.path.join(corpus_dir, "documents.parquet"),
+        span_partitions=8,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    media_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "media_ref" in l
+    ]
+    png_scans = [l for l in media_scans if "png" in l.split("ReadSchema", 1)[-1]]
+    # exactly two scans materialize payload bytes (light + heavy), each
+    # partition-pruned on `heavy`
+    assert len(png_scans) == 2, plan
+    for line in png_scans:
+        pf = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "heavy" in pf, line
+    ref_only = [l for l in media_scans if l not in png_scans]
+    assert ref_only, plan  # the anti-join scan exists and reads no png
