@@ -13,7 +13,6 @@
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,10 +31,7 @@ def _extract_query(mode: str):
         # precomputed for exactly this corpus (functions/golden.py)
         corpus = fixture_corpus_dir(GOLDEN_DOCS, GOLDEN_SKEW)
         docs, media = read_corpus(spark, corpus)
-        out = run_pipeline(
-            spark, docs, media, mode=mode, run_id=f"q-{mode}",
-            docs_path=os.path.join(corpus, "documents.parquet"),
-        )
+        out = run_pipeline(spark, docs, media, mode=mode, run_id=f"q-{mode}")
         # flatten to scalar columns (driver-hashable shape); the
         # explode_outer null row (empty-spans doc) maps to non-null
         # sentinels — nullable int columns go float64 in pandas-style

@@ -62,10 +62,7 @@ def _run_extraction(spark, corpus_dir: str, mode: str) -> float:
 
     docs, media = read_corpus(spark, corpus_dir)
     t0 = time.time()
-    run_pipeline(
-        spark, docs, media, mode=mode, run_id=f"bench-{mode}",
-        docs_path=os.path.join(corpus_dir, "documents.parquet"),
-    ).count()
+    run_pipeline(spark, docs, media, mode=mode, run_id=f"bench-{mode}").count()
     return time.time() - t0
 
 

@@ -69,14 +69,15 @@ def main(argv: list[str] | None = None) -> int:
 
     def read_input(spec: str):
         # catalog tables (Iceberg/Hive) read via the session catalog and
-        # keep their own partition/snapshot pruning; parquet paths get
-        # the docs_path pruned re-scan optimization instead
+        # keep their own partition/snapshot pruning; the media branch's
+        # pruned no-spans.text scan applies to both input styles
+        # (pipeline._media_span_rows)
         if spec.startswith("table:"):
-            return spark.read.table(spec[len("table:"):]), None
-        return spark.read.parquet(spec), spec
+            return spark.read.table(spec[len("table:"):])
+        return spark.read.parquet(spec)
 
-    docs, docs_path = read_input(args.input)
-    media, _ = read_input(args.media)
+    docs = read_input(args.input)
+    media = read_input(args.media)
     report = run_extraction_job(
         spark,
         docs,
@@ -87,7 +88,6 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.profile,
         mode=args.mode,
         max_buckets=args.max_buckets,
-        docs_path=docs_path,
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
         chunk_codec=args.chunk_codec,

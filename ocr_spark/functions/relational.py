@@ -26,7 +26,14 @@ def _pin_utc(spark: SparkSession) -> None:
     `date_format`/`unix_timestamp` over naive parquet timestamps resolve the
     session TZ at analysis time, so pin UTC *before* building the plan (the
     repo's own session.py does this, but `queries()` runs on the driver's
-    session, which may not)."""
+    session, which may not).
+
+    SIDE EFFECT (ADVICE r2): this permanently sets the shared session's
+    spark.sql.session.timeZone — later timestamp queries in the same
+    session inherit UTC. Restoring after collect is not possible here
+    (the returned plan is lazy; the TZ must still be UTC at execution),
+    so callers that care must save/restore around the collect, as
+    tests/test_functions_oracle.py does."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

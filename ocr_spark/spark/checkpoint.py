@@ -49,8 +49,17 @@ def bucket_filter(df, n_buckets: int, b: int):
     PartitionFilter, so the scan reads ~1/n of the files instead of
     re-scanning the whole corpus once per bucket (the r1 scale bug).
     `pmod(bucket, n)` assigns every doc to exactly one runtime bucket for
-    ANY layout count; hash-fallback consistency additionally needs
-    layout % n == 0 (guaranteed by corpus.LAYOUT_BUCKETS=8 divisors)."""
+    ANY layout count and any n.
+
+    CAUTION (ADVICE r2): the two methods only assign the SAME runtime
+    bucket to a given doc when n divides the layout bucket count
+    (pmod(md5 % L, n) == md5 % n iff n | L) — nothing guarantees that
+    (job.py defaults to --buckets 256 vs LAYOUT_BUCKETS=8). Each method
+    is individually exhaustive and disjoint, so single-table use is
+    always correct; what is NOT safe is filtering docs with one method
+    and media with the other in the same bucket run — see
+    run_extraction_job, which only prunes media when docs also filter on
+    the bucket column."""
     if "bucket" in df.columns:
         return F.pmod(F.col("bucket"), F.lit(n_buckets)) == b
     return bucket_expr(n_buckets) == b
@@ -118,7 +127,6 @@ def run_extraction_job(
     profile: str = "default",
     mode: str = "fused",
     max_buckets: int | None = None,
-    docs_path: str | None = None,
     **pipeline_kw,
 ) -> dict:
     """Process all not-yet-committed buckets; returns a run report.
@@ -151,6 +159,15 @@ def run_extraction_job(
                 stacklevel=2,
             )
     media_has_bucket = "bucket" in media_df.columns
+    if media_has_bucket and filter_method != "bucket-column":
+        import warnings
+
+        warnings.warn(
+            "docs input lacks the `bucket` layout column: media pruning "
+            "disabled (every bucket run scans the full media table). "
+            "Ingest docs with the layout column to restore pruned resume.",
+            stacklevel=2,
+        )
     processed = []
     skipped = sorted(done)
     t_start = time.time()
@@ -161,10 +178,15 @@ def run_extraction_job(
             break
         attempt = _attempt_number(out_dir, b)
         # media prunes on the owner-doc bucket it was ingested with —
-        # without this the (PNG-heavy) media table re-scans per bucket
+        # without this the (PNG-heavy) media table re-scans per bucket.
+        # ONLY when docs filter by the same layout column (ADVICE r2):
+        # docs on the md5-hash fallback assign doc -> md5 % n, while
+        # media's layout column gives pmod(md5 % L, n) — these disagree
+        # unless n | L, silently turning media spans into counted skips.
+        # Mixed inputs therefore run with an unpruned media scan.
         media_b = (
             media_df.filter(bucket_filter(media_df, n_buckets, b))
-            if media_has_bucket
+            if media_has_bucket and filter_method == "bucket-column"
             else media_df
         )
         result = run_pipeline(
@@ -175,7 +197,6 @@ def run_extraction_job(
             mode=mode,
             run_id=run_id,
             attempt=attempt,
-            docs_path=docs_path,
             docs_filter=bucket_filter(docs_df, n_buckets, b),
             **pipeline_kw,
         )

@@ -111,12 +111,22 @@ def write_corpus_parquet(
 
     doc_bucket = {d["doc_id"]: bucket_of(d["doc_id"], layout_buckets) for d in docs}
     # media inherits the owning doc's bucket so per-bucket runs prune
-    # the media scan too (every fixture media_ref has exactly one owner)
+    # the media scan too. Single ownership is a LAYOUT INVARIANT, not an
+    # accident of the fixture (ADVICE r2): a media_ref shared by docs in
+    # different buckets would be pruned away from all but one of them,
+    # silently skipping those spans — so ingest fails fast on conflict.
     ref_bucket: dict[str, int] = {}
     for d in docs:
         for s in d["spans"]:
             if s["media_ref"]:
-                ref_bucket[s["media_ref"]] = doc_bucket[d["doc_id"]]
+                prev = ref_bucket.setdefault(s["media_ref"], doc_bucket[d["doc_id"]])
+                if prev != doc_bucket[d["doc_id"]]:
+                    raise ValueError(
+                        f"media_ref {s['media_ref']!r} owned by docs in "
+                        f"buckets {prev} and {doc_bucket[d['doc_id']]}: "
+                        "duplicate the media row per owning bucket or "
+                        "re-key the ref before a bucketed ingest"
+                    )
 
     def _write_partitioned(rows, schema, root, part_cols, row_group_size):
         # deterministic hive layout: root/col1=v/col2=v/part-0.parquet

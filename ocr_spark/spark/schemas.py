@@ -25,27 +25,6 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-# media-branch scan schema: spans.text omitted so the parquet reader
-# never materializes the (dominant) text payloads for the image path —
-# Catalyst's generator pruning can't do this for multi-field explodes
-MEDIA_BRANCH_DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField(
-            "spans",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("kind", T.StringType()),
-                        T.StructField("media_ref", T.StringType()),
-                        T.StructField("offset", T.IntegerType()),
-                    ]
-                )
-            ),
-        ),
-    ]
-)
-
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), nullable=False),

@@ -1,7 +1,7 @@
 """spark-submit entrypoint: the packaged job must run end-to-end from
-both input styles — parquet paths (with the pruned docs_path re-scan)
-and catalog tables (the Iceberg-shaped production layout, exercised via
-session temp views)."""
+both input styles — parquet paths and catalog tables (the Iceberg-shaped
+production layout, exercised via session temp views); both get the
+pruned no-spans.text media-branch scan."""
 
 from __future__ import annotations
 

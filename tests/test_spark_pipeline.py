@@ -35,17 +35,9 @@ def assert_equals_oracle(rows_by_doc, oracle_extracted):
 
 @pytest.mark.parametrize("mode", ["fused", "staged", "hybrid"])
 def test_pipeline_matches_oracle(spark, corpus_dir, oracle_extracted, mode):
-    import os
-
     docs, media = read_corpus(spark, corpus_dir)
     out = run_pipeline(
         spark, docs, media, mode=mode, run_id=f"t-{mode}", span_partitions=16,
-        # fused also exercises the pruned media-branch re-scan
-        docs_path=(
-            os.path.join(corpus_dir, "documents.parquet")
-            if mode == "fused"
-            else None
-        ),
     )
     rows = {r["doc_id"]: r for r in out.collect()}
     assert_equals_oracle(rows, oracle_extracted)
@@ -179,6 +171,31 @@ def test_resume_rejects_bucket_count_change(spark, corpus_dir, tmp_path):
             spark, docs, media, out_dir, run_id="r2", n_buckets=8,
             span_partitions=8,
         )
+
+
+def test_mixed_inputs_hash_docs_bucketed_media(
+    spark, corpus_dir, oracle_extracted, tmp_path
+):
+    """ADVICE r2 (medium): docs WITHOUT the bucket layout column (hash
+    fallback) + media WITH it, at an n_buckets that does not divide
+    LAYOUT_BUCKETS=8. The buggy build filtered media by
+    pmod(bucket, n) != md5 % n, silently skipping most media spans; the
+    fix runs such buckets with an unpruned media scan — output must
+    equal the oracle exactly."""
+    from ocr_spark.spark.checkpoint import read_extracted, run_extraction_job
+
+    docs, media = read_corpus(spark, corpus_dir)
+    assert "bucket" in media.columns
+    docs_nb = docs.select("doc_id", "spans")  # strip the layout column
+    out_dir = str(tmp_path / "extracted")
+    with pytest.warns(UserWarning, match="media pruning"):
+        report = run_extraction_job(
+            spark, docs_nb, media, out_dir, run_id="mix", n_buckets=3,
+            span_partitions=8,
+        )
+    assert report["complete"]
+    rows = {r["doc_id"]: r for r in read_extracted(spark, out_dir).collect()}
+    assert_equals_oracle(rows, oracle_extracted)
 
 
 def test_staged_png_chunk_codec_matches_oracle(spark, corpus_dir, oracle_extracted):
