@@ -106,13 +106,23 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     docs_n, spans_n = _extraction_stats(corpus)
 
     queries: dict[str, float] = {}
-    t_fused = _timed(lambda: _run_extraction(spark, corpus, "fused"))
-    queries["extract_fused"] = round(t_fused, 3)
-    t_hy = _timed(lambda: _run_extraction(spark, corpus, "hybrid"))
-    queries["extract_hybrid"] = round(t_hy, 3)
-    queries["extract_staged"] = round(
-        _timed(lambda: _run_extraction(spark, corpus, "staged")), 3
-    )
+    # extraction modes run INTERLEAVED round-robin with per-mode minima
+    # (VERDICT r2 #3): sequential per-mode blocks let whichever mode runs
+    # first absorb residual page-fault/contention tax, which once
+    # recorded hybrid (a superset plan) as faster than fused — an
+    # ordering artifact, not a plan property. Round-robin spreads the tax
+    # across modes; min-of-3 recovers each mode's steady state.
+    modes = ("fused", "hybrid", "staged")
+    best = {m: float("inf") for m in modes}
+    for _ in range(3):
+        for m in modes:
+            t0 = time.time()
+            _run_extraction(spark, corpus, m)
+            best[m] = min(best[m], time.time() - t0)
+    t_fused, t_hy = best["fused"], best["hybrid"]
+    queries["extract_fused"] = round(best["fused"], 3)
+    queries["extract_hybrid"] = round(best["hybrid"], 3)
+    queries["extract_staged"] = round(best["staged"], 3)
 
     headline = [
         "text_boilerplate",

@@ -115,10 +115,13 @@ def write_corpus_parquet(
     # accident of the fixture (ADVICE r2): a media_ref shared by docs in
     # different buckets would be pruned away from all but one of them,
     # silently skipping those spans — so ingest fails fast on conflict.
+    real_refs = {m["media_ref"] for m in media}
     ref_bucket: dict[str, int] = {}
     for d in docs:
         for s in d["spans"]:
-            if s["media_ref"]:
+            # dangling refs (planted skip fixtures) have no media row to
+            # misplace — ownership only matters for refs that exist
+            if s["media_ref"] and s["media_ref"] in real_refs:
                 prev = ref_bucket.setdefault(s["media_ref"], doc_bucket[d["doc_id"]])
                 if prev != doc_bucket[d["doc_id"]]:
                     raise ValueError(

@@ -36,6 +36,37 @@ def test_timestamp_queries_survive_foreign_session_tz(spark, name):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_simhash_band_cap_bounds_degenerate_cluster(spark, tmp_path):
+    """A 1,000-doc near-identical cluster must NOT explode into ~500k
+    candidate pairs (VERDICT r2 #1): every (table, band-value) bucket is
+    capped at SIMHASH_BAND_CAP docs, bounding the output at
+    bands * C(cap, 2) no matter how degenerate the cluster — and the
+    query still matches its oracle on the crafted corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import (
+        QUERIES,
+        SIMHASH_BAND_CAP,
+        SIMHASH_BANDS,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        {"doc_id": i, "text": base + f"tail{i % 7}"} for i in range(1000)
+    ]
+    d = tmp_path / "sf_cluster"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["dedup_simhash_pairs"]
+    n_pairs = spec.fn(spark, str(d)).count()
+    bound = SIMHASH_BANDS * SIMHASH_BAND_CAP * (SIMHASH_BAND_CAP - 1) // 2
+    assert 0 < n_pairs <= bound, (n_pairs, bound)  # not ~499,500
+    r = compare_query(spark, str(d), "dedup_simhash_pairs", spec)
+    assert r["ok"], r["detail"]
+
+
 def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
     """Two near-identical docs whose lengths straddle a LEN_BUCKET
     boundary must be candidates (adjacent-bucket probing), and the query
