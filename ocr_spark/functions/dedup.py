@@ -220,22 +220,55 @@ CHAR_GRAM_W = 5
 JACCARD_MIN = 0.2
 LEN_BUCKET = 128
 
+# Block-size guard (VERDICT r2 #4): blocking on (source, length-bucket)
+# is quadratic WITHIN a block, so one boilerplate-heavy source with many
+# same-length docs recreates the all-pairs blowup locally. Blocks larger
+# than JAC_BLOCK_CAP route through a MinHash band prefilter over the
+# char grams (JAC_MH_H hashes, JAC_MH_B bands): candidate pairs touching
+# a big block must additionally agree on >=1 band, turning the in-block
+# n^2 into n^2 * P[band collision] — ~n^2/16^? for dissimilar docs,
+# while true near-dups (which agree on bands with high probability)
+# still surface. Both engines implement the identical rule, so the
+# oracle stays exact.
+JAC_BLOCK_CAP = 64
+JAC_MH_H = 8
+JAC_MH_R = 2
+JAC_MH_B = JAC_MH_H // JAC_MH_R  # 4 bands
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by char 5-gram Jaccard, candidate pairs blocked on
-    (source, length-bucket) — the cheap-blocking alternative to MinHash
-    when a natural partition attribute exists; the block key is also the
-    join key, so at scale this is a co-partitioned self-join, never an
-    all-pairs.
 
-    Adjacent-bucket probing (VERDICT r1 #7): the probing side explodes
-    its key to lb/lb+1, so near-dups whose lengths straddle a bucket
-    boundary are still candidates — a union of two key-joins, never
-    all-pairs. Same-bucket pairs keep the doc_id< asymmetry; cross-bucket
-    pairs are unique by bucket asymmetry (only the lower bucket probes
-    upward), so each qualifying pair matches exactly one probe key and
-    the output canonicalizes to (least, greatest) — no dedup step, and
-    only 2x (not 3x) of the gram payload crosses the shuffle."""
+def _gram_band_structs() -> "F.Column":
+    """array<struct<band_id,band_val>> of minhash bands over `grams`."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda g, h=h: F.md5(F.concat(F.lit(f"jac{h}|"), g).cast("binary")),
+            )
+        )
+        for h in range(JAC_MH_H)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[sigs[b * JAC_MH_R + r] for r in range(JAC_MH_R)]
+                    ).cast("binary")
+                ).alias("band_val"),
+            )
+            for b in range(JAC_MH_B)
+        ]
+    )
+
+
+def _jac_docs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc frame (doc_id, source, lb, grams, ng, is_big, affected).
+
+    is_big: the doc's own (source, lb) block exceeds JAC_BLOCK_CAP.
+    affected: a big block exists at (source, lb-1..lb+1) — i.e. the doc
+    can be an endpoint of a big-block pair and needs bands. Both flags
+    come from a broadcast of the (tiny, aggregated) big-block list."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "n_chars")
@@ -255,28 +288,105 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LEN_BUCKET).cast("long").alias("lb"),
         grams.alias("grams"),
     ).withColumn("ng", F.size("grams"))
-    a = t.withColumn(
-        "probe_lb",
-        F.explode(F.array(F.col("lb"), F.col("lb") + 1)),
-    ).alias("a")
-    b = t.alias("b")
+    sizes = t.groupBy("source", "lb").agg(F.count("*").alias("cnt"))
+    big = sizes.filter(F.col("cnt") > JAC_BLOCK_CAP).select("source", "lb")
+    aff = (
+        big.select(
+            "source",
+            F.explode(
+                F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+            ).alias("lb"),
+        )
+        .dropDuplicates()
+    )
+    return (
+        t.join(
+            F.broadcast(big.withColumn("_big", F.lit(True))), ["source", "lb"], "left"
+        )
+        .join(
+            F.broadcast(aff.withColumn("_aff", F.lit(True))), ["source", "lb"], "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lb",
+            "grams",
+            "ng",
+            F.coalesce("_big", F.lit(False)).alias("is_big"),
+            F.coalesce("_aff", F.lit(False)).alias("affected"),
+        )
+    )
+
+
+def _probe_join_cond() -> "F.Column":
+    """Adjacent-bucket probe condition: the a-side explodes its key to
+    lb/lb+1 (VERDICT r1 #7), same-bucket pairs keep doc_id< asymmetry,
+    cross-bucket pairs are unique because only the lower bucket probes
+    upward — each unordered pair matches exactly one probe key."""
     same_bucket = F.col("b.lb") == F.col("a.lb")
-    pairs = a.join(
-        b,
+    return (
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.probe_lb") == F.col("b.lb"))
-        & (
-            (same_bucket & (F.col("a.doc_id") < F.col("b.doc_id")))
-            | ~same_bucket
-        ),
+        & ((same_bucket & (F.col("a.doc_id") < F.col("b.doc_id"))) | ~same_bucket)
+    )
+
+
+def _with_probe(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "probe_lb", F.explode(F.array(F.col("lb"), F.col("lb") + 1))
+    )
+
+
+def ngram_jaccard_banded_candidates(t2: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates touching a big block: band-agreeing
+    pairs only. Bands shuffle (doc_id, band) rows — never grams; the
+    candidate set rejoins grams afterwards (minhash-style)."""
+    bands = t2.filter(F.col("affected")).select(
+        "doc_id",
+        "source",
+        "lb",
+        "is_big",
+        F.explode(_gram_band_structs()).alias("band"),
+    ).select("doc_id", "source", "lb", "is_big", "band.band_id", "band.band_val")
+    a = _with_probe(bands).alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            _probe_join_cond()
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.is_big") | F.col("b.is_big")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by char 5-gram Jaccard, candidate pairs blocked on
+    (source, length-bucket) with adjacent-bucket probing — the
+    cheap-blocking alternative to MinHash when a natural partition
+    attribute exists; the block key is also the join key, so at scale
+    this is a co-partitioned self-join, never an all-pairs. Blocks over
+    JAC_BLOCK_CAP take the band-prefiltered path (see module constant
+    docs): direct pairing is then bounded by cap^2 per probe key."""
+    t2 = _jac_docs_flagged(spark, sf_dir)
+    a = _with_probe(t2).alias("a")
+    b = t2.alias("b")
+    direct = a.join(
+        b,
+        _probe_join_cond() & ~F.col("a.is_big") & ~F.col("b.is_big"),
     )
     # grams are per-doc distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|:
     # one array op per pair instead of two (the per-pair set ops dominate
     # this query's cost; the sizes ride along as ints). Materialized in
-    # its own projection so the 3 downstream references don't re-inline
-    # the array_intersect (CollapseProject keeps non-cheap multi-ref
-    # expressions hoisted).
-    scored = pairs.select(
+    # its own projection so the downstream references don't re-inline
+    # the array_intersect.
+    direct_scored = direct.select(
         F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         (F.col("a.ng") + F.col("b.ng")).alias("n_total"),
@@ -284,37 +394,116 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter"
         ),
     )
+    cand = ngram_jaccard_banded_candidates(t2)
+    g = t2.select("doc_id", "grams", "ng")
+    banded_scored = (
+        cand.join(
+            g.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("grams").alias("ga"),
+                F.col("ng").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("grams").alias("gb"),
+                F.col("ng").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("na") + F.col("nb")).alias("n_total"),
+            F.size(F.array_intersect(F.col("ga"), F.col("gb"))).alias("inter"),
+        )
+    )
+    scored = direct_scored.unionByName(banded_scored)
     union = F.col("n_total") - F.col("inter")
     jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(
         F.lit(1.0)
     )
     return (
-        scored.select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-        )
+        scored.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH t AS (
+def _ngram_jaccard_sql() -> str:
+    sig_exprs = [
+        f"list_min(list_transform(grams, g -> md5('jac{h}|' || g)))"
+        for h in range(JAC_MH_H)
+    ]
+    band_rows = ", ".join(
+        "{{'band_id': {b}, 'band_val': md5({parts})}}".format(
+            b=b,
+            parts=" || '|' || ".join(
+                sig_exprs[b * JAC_MH_R + r] for r in range(JAC_MH_R)
+            ),
+        )
+        for b in range(JAC_MH_B)
+    )
+    return f"""
+WITH t0 AS (
   SELECT doc_id, source, n_chars // {LEN_BUCKET} AS lb,
          list_distinct(list_transform(
            range(1, greatest(length(text) - {CHAR_GRAM_W - 1}, 1) + 1),
            i -> substr(text, i, {CHAR_GRAM_W}))) AS grams
   FROM documents
-), p AS (
+), t1 AS (
+  SELECT t0.*, len(grams) AS ng FROM t0
+), big AS (
+  SELECT source, lb FROM t1 GROUP BY source, lb
+  HAVING count(*) > {JAC_BLOCK_CAP}
+), aff AS (
+  SELECT DISTINCT big.source, big.lb + d.o AS lb
+  FROM big, unnest([-1, 0, 1]) AS d(o)
+), t2 AS (
+  SELECT t1.*,
+         EXISTS (SELECT 1 FROM big
+                 WHERE big.source = t1.source AND big.lb = t1.lb) AS is_big,
+         EXISTS (SELECT 1 FROM aff
+                 WHERE aff.source = t1.source AND aff.lb = t1.lb) AS affected
+  FROM t1
+), bands AS (
+  SELECT doc_id, source, lb, is_big, u.band_id AS band_id, u.band_val AS band_val
+  FROM (SELECT doc_id, source, lb, is_big, grams FROM t2 WHERE affected),
+       unnest([{band_rows}]) AS x(u)
+), direct AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
-                    THEN len(list_intersect(a.grams, b.grams))
-                         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
-                    ELSE 1.0 END, 6) AS jaccard
-  FROM t a JOIN t b
+         a.grams AS ga, b.grams AS gb, a.ng + b.ng AS n_total
+  FROM t2 a JOIN t2 b
     ON a.source = b.source AND b.lb IN (a.lb - 1, a.lb, a.lb + 1)
-       AND a.doc_id < b.doc_id
+       AND a.doc_id < b.doc_id AND NOT a.is_big AND NOT b.is_big
+), bcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.source = b.source AND b.lb IN (a.lb - 1, a.lb, a.lb + 1)
+       AND a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id AND (a.is_big OR b.is_big)
+), banded AS (
+  SELECT c.doc_a, c.doc_b, ta.grams AS ga, tb.grams AS gb,
+         ta.ng + tb.ng AS n_total
+  FROM bcand c
+  JOIN t2 ta ON ta.doc_id = c.doc_a
+  JOIN t2 tb ON tb.doc_id = c.doc_b
+), allp AS (
+  SELECT * FROM direct UNION ALL SELECT * FROM banded
+), p AS (
+  SELECT doc_a, doc_b,
+         round(CASE WHEN n_total - len(list_intersect(ga, gb)) > 0
+                    THEN len(list_intersect(ga, gb))
+                         / CAST(n_total - len(list_intersect(ga, gb)) AS DOUBLE)
+                    ELSE 1.0 END, 6) AS jaccard
+  FROM allp
 )
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= {JACCARD_MIN}
 """
+
+
+SQL_NGRAM_JACCARD = _ngram_jaccard_sql()
 
 
 # --------------------------------------------------------------------------

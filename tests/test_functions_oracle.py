@@ -67,6 +67,57 @@ def test_simhash_band_cap_bounds_degenerate_cluster(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_jaccard_block_guard_is_subquadratic(spark, tmp_path):
+    """One oversized same-length block (VERDICT r2 #4): candidate pairs
+    touching a big block must pass the minhash band prefilter, so a
+    202-doc block of dissimilar docs yields candidates ~0 (not
+    C(202,2) = 20k+), while a planted near-dup pair inside the block
+    still surfaces — and the query matches its oracle on the corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import (
+        JAC_BLOCK_CAP,
+        QUERIES,
+        _jac_docs_flagged,
+        ngram_jaccard_banded_candidates,
+    )
+
+    def noise(i):  # dissimilar fixed-length texts
+        return " ".join(
+            hashlib.md5(f"{i}:{k}".encode()).hexdigest() for k in range(6)
+        )
+
+    n = 200
+    assert n > JAC_BLOCK_CAP
+    rows = [
+        {"doc_id": i, "source": "s", "text": noise(i), "n_chars": 100}
+        for i in range(n)
+    ]
+    near = noise(9000)
+    rows += [
+        {"doc_id": 9000, "source": "s", "text": near, "n_chars": 100},
+        {"doc_id": 9001, "source": "s", "text": near[:-8] + "deadbeef",
+         "n_chars": 100},
+    ]
+    d = tmp_path / "sf_block"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    t2 = _jac_docs_flagged(spark, str(d))
+    assert t2.filter("is_big").count() == n + 2  # the whole block is big
+    n_cand = ngram_jaccard_banded_candidates(t2).count()
+    assert n_cand < 2 * (n + 2), n_cand  # sub-quadratic, not ~20k
+
+    spec = QUERIES["dedup_ngram_jaccard"]
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in spec.fn(spark, str(d)).collect()}
+    assert (9000, 9001) in out  # planted near-dup survives the prefilter
+    r = compare_query(spark, str(d), "dedup_ngram_jaccard", spec)
+    assert r["ok"], r["detail"]
+
+
 def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
     """Two near-identical docs whose lengths straddle a LEN_BUCKET
     boundary must be candidates (adjacent-bucket probing), and the query
