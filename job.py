@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         default="default",
     )
     p.add_argument("--max-buckets", type=int, default=None)
+    p.add_argument(
+        "--buckets-per-job", type=int, default=8,
+        help="buckets committed per Spark action (dynamic-partition "
+        "write): amortizes per-job overhead when --buckets is large; "
+        "resume granularity stays one bucket, kill-loss is one group",
+    )
     p.add_argument("--span-partitions", type=int, default=None)
     p.add_argument("--doc-partitions", type=int, default=None)
     p.add_argument(
@@ -88,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.profile,
         mode=args.mode,
         max_buckets=args.max_buckets,
+        buckets_per_job=args.buckets_per_job,
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
         chunk_codec=args.chunk_codec,
