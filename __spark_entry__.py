@@ -105,12 +105,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from ocr_spark.functions import all_queries
     from ocr_spark.functions.golden import SQL_EXTRACT_SPANS, ensure_golden
 
     # golden tables must exist before DuckDB runs the image-path oracles
     ensure_golden()
-    out = {name: spec.sql for name, spec in all_queries().items() if spec.sql}
+    # data-derived oracles (callable QuerySpec.sql, e.g. trained IVF
+    # centroids) are resolved at the driver's compare scale: sf0.01 per
+    # the driver contract, overridable for local runs
+    oracle_sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    out = {
+        name: spec.sql_for(oracle_sf)
+        for name, spec in all_queries().items()
+        if spec.sql
+    }
     # all three physical modes are oracle-equal by construction — each is
     # checked against the same single-process golden spans table
     out["extract_pipeline_fused"] = SQL_EXTRACT_SPANS

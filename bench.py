@@ -92,6 +92,27 @@ def _timed(fn, repeats: int = 2) -> float:
     return best
 
 
+def _ann_recall(spark, sf_dir: str) -> dict:
+    """recall@IVF_TOPK of each ANN variant vs the brute-force top-k.
+    The collects are (n_queries * k) id pairs — bounded and tiny."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.similarity import IVF_TOPK, QUERIES
+
+    def pairs(name):
+        df = QUERIES[name].fn(spark, sf_dir).filter(F.col("rnk") <= IVF_TOPK)
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    truth = pairs("embedding_cosine_topk")
+    out = {"k": IVF_TOPK}
+    for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained"):
+        out[name] = round(len(pairs(name) & truth) / len(truth), 3)
+    return out
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     from ocr_spark.functions import all_queries
     from ocr_spark.spark.session import get_spark
@@ -134,6 +155,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
+        "embedding_ann_ivf_trained",
         "events_sessionize",
         "events_span_reassembly",
         "tpch_revenue_by_nation",
@@ -144,6 +166,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         queries[name] = round(
             _timed(lambda: specs[name].fn(spark, sf_dir).count()), 3
         )
+
+    # ANN quality: recall@k of each IVF variant against the brute-force
+    # truth (VERDICT r2 #6 — the trained quantizer must show its recall)
+    recall = _ann_recall(spark, sf_dir)
 
     # corpus-level quality metrics (SURVEY §7.6: skip counts, confidence)
     from pyspark.sql import functions as F
@@ -169,6 +195,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "ann_recall": recall,
         "sf": _sf_of(sf_dir),
         "extraction": {
             "docs": docs_n,

@@ -31,7 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # DuckDB oracle; None -> rows-only check
+    # DuckDB oracle; None -> rows-only check. A callable form
+    # ``sql(sf_dir) -> str`` is for oracles whose constants are
+    # data-derived (e.g. trained IVF centroids): the SQL is generated
+    # from the same constants as the Spark plan *for a given sf_dir*.
+    sql: Optional[str | Callable[[str], str]]
+
+    def sql_for(self, sf_dir: str) -> Optional[str]:
+        return self.sql(sf_dir) if callable(self.sql) else self.sql
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -45,12 +45,13 @@ def compare_query(spark, sf_dir: str, name: str, spec) -> dict:
     scols = sorted(sdf.columns)
     got = sorted(tuple(_canon(r[c]) for c in scols) for r in srows)
     out = {"name": name, "rows": len(got)}
-    if spec.sql is None:
+    sql = spec.sql_for(sf_dir) if hasattr(spec, "sql_for") else spec.sql
+    if sql is None:
         out["ok"] = True
         out["detail"] = "rows-only"
         return out
     con = duckdb_con(sf_dir)
-    ores = con.execute(spec.sql)
+    ores = con.execute(sql)
     ocols_raw = [d[0] for d in ores.description]
     orows = ores.fetchall()
     ocols = sorted(ocols_raw)

@@ -118,6 +118,36 @@ def test_jaccard_block_guard_is_subquadratic(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
+    """VERDICT r2 #6: the spherical-k-means quantizer must be (a)
+    deterministic — the same centroid literals are inlined into the
+    Spark plan and the DuckDB oracle, so a retrain must reproduce them
+    bit-for-bit — and (b) better than the first-K quantizer: recall@k
+    vs the brute-force truth strictly improves on this corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import similarity as S
+
+    S._CENTROID_CACHE.pop(SF_DIR, None)
+    c1 = S.train_centroids(SF_DIR)
+    S._CENTROID_CACHE.pop(SF_DIR, None)
+    c2 = S.train_centroids(SF_DIR)
+    assert c1 == c2
+    assert len(c1) == S.IVF_K and len(c1[0][1]) == S.DIM
+
+    def pairs(name):
+        df = S.QUERIES[name].fn(spark, SF_DIR).filter(F.col("rnk") <= S.IVF_TOPK)
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    truth = pairs("embedding_cosine_topk")
+    r_first_k = len(pairs("embedding_ann_ivf") & truth) / len(truth)
+    r_trained = len(pairs("embedding_ann_ivf_trained") & truth) / len(truth)
+    assert r_trained > r_first_k, (r_trained, r_first_k)
+
+
 def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
     """Two near-identical docs whose lengths straddle a LEN_BUCKET
     boundary must be candidates (adjacent-bucket probing), and the query
