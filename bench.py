@@ -152,6 +152,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",

@@ -1,6 +1,7 @@
 """Deduplication operators: exact (hash groupBy), MinHash+LSH banding,
-char n-gram Jaccard with attribute blocking, and SimHash — the dedup
-family of a training-data pipeline, over the flat `documents` table.
+char n-gram Jaccard with attribute blocking, SimHash, and
+embedding-cosine near-dup — the dedup family of a training-data
+pipeline, over the flat `documents` and `embeddings` tables.
 
 Public-literature basis: MinHash resemblance sketches (Broder, "On the
 resemblance and containment of documents", SEQUENCES 1997) with the
@@ -664,10 +665,129 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH candidates)
+# --------------------------------------------------------------------------
+
+# Charikar (STOC 2002) random-hyperplane LSH as the candidate generator
+# for semantic near-dup detection: EMB_DUP_TABLES independent tables of
+# EMB_DUP_PLANES hyperplane bits each; docs sharing a bucket in ANY
+# table become candidates, then exact cosine confirms >= EMB_DUP_THRESH.
+# The join key is (table, bucket) — co-partitioned, never all-pairs —
+# and every (table, bucket) is capped at EMB_DUP_BUCKET_CAP members
+# (deterministically, lowest vec_id first), bounding worst-case
+# candidates at tables * buckets * C(cap, 2) for degenerate corpora.
+# Plane count trades recall vs bucket size (collision prob per table is
+# (1 - theta/pi)^planes): production corpora with ~1 cos thresholds use
+# more planes; the synthetic table's pair distribution tops out near
+# cos 0.5, so the checked config uses few planes and a 0.3 threshold.
+EMB_DUP_PLANES = 4
+EMB_DUP_TABLES = 2
+EMB_DUP_THRESH = 0.3
+EMB_DUP_BUCKET_CAP = 256
+
+
+def emb_dup_hyperplanes(table: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes per table, md5-derived with a
+    table-distinct key (seed space disjoint from similarity.hyperplanes)."""
+    import hashlib
+
+    from ocr_spark.functions.similarity import DIM
+
+    planes = []
+    for p in range(EMB_DUP_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"e{table}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs over the embeddings table: multi-table
+    hyperplane-LSH candidates (capped buckets), exact-cosine confirm."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.similarity import _bucket_col, _cos
+
+    emb = load(spark, sf_dir, "embeddings")
+    parts = [
+        emb.select(
+            "vec_id",
+            F.lit(t).alias("tbl"),
+            _bucket_col(emb_dup_hyperplanes(t)).alias("bkt"),
+        )
+        for t in range(EMB_DUP_TABLES)
+    ]
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    capped = (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= EMB_DUP_BUCKET_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a", "doc_b", _cos(F.col("ea"), F.col("eb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= EMB_DUP_THRESH)
+    )
+
+
+def _embedding_dup_sql() -> str:
+    from ocr_spark.functions.similarity import _bucket_sql, _cos_sql
+
+    tbl_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_bucket_sql('embedding', emb_dup_hyperplanes(t))} AS bkt "
+        "FROM embeddings"
+        for t in range(EMB_DUP_TABLES)
+    )
+    return f"""
+WITH b AS ({tbl_union}), capped AS (
+  SELECT vec_id, tbl, bkt FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rn
+    FROM b
+  ) WHERE rn <= {EMB_DUP_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         {_cos_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.doc_a
+              JOIN embeddings eb ON eb.vec_id = c.doc_b
+)
+SELECT doc_a, doc_b, cos_sim FROM scored WHERE cos_sim >= {EMB_DUP_THRESH}
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _minhash_sql()),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
+    "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, _embedding_dup_sql()),
 }

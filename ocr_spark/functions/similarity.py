@@ -130,8 +130,9 @@ SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {TOPK}
 # --------------------------------------------------------------------------
 
 
-def _bucket_col() -> Column:
-    planes = hyperplanes()
+def _bucket_col(planes: list[list[float]] | None = None) -> Column:
+    if planes is None:
+        planes = hyperplanes()
     out = F.lit(0)
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
@@ -142,8 +143,9 @@ def _bucket_col() -> Column:
     return out
 
 
-def _bucket_sql(emb: str) -> str:
-    planes = hyperplanes()
+def _bucket_sql(emb: str, planes: list[list[float]] | None = None) -> str:
+    if planes is None:
+        planes = hyperplanes()
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"

@@ -118,6 +118,58 @@ def test_jaccard_block_guard_is_subquadratic(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_embedding_dedup_cap_bounds_degenerate_cluster(spark, tmp_path):
+    """A 600-vector near-identical cluster lands in one LSH bucket per
+    table; the per-bucket cap must bound candidates at
+    tables * C(cap, 2) instead of C(600, 2) — and the query still
+    matches its oracle on the crafted corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import (
+        EMB_DUP_BUCKET_CAP,
+        EMB_DUP_TABLES,
+        QUERIES,
+    )
+
+    def vec(i):
+        # one shared direction + per-vector micro-noise: same bucket,
+        # cosine ~1 for every pair
+        base = [1.0 if d % 2 == 0 else -1.0 for d in range(64)]
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        return [
+            float(b) + (h[d % 16] - 128) / 12800.0 for d, b in enumerate(base)
+        ]
+
+    n = 600
+    assert n > EMB_DUP_BUCKET_CAP
+    rows = [{"vec_id": i, "embedding": vec(i), "label": 0} for i in range(n)]
+    d = tmp_path / "sf_emb"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    spec = QUERIES["dedup_embedding_cosine"]
+    n_pairs = spec.fn(spark, str(d)).count()
+    bound = EMB_DUP_TABLES * EMB_DUP_BUCKET_CAP * (EMB_DUP_BUCKET_CAP - 1) // 2
+    assert 0 < n_pairs <= bound, (n_pairs, bound)  # not ~179,700
+    r = compare_query(spark, str(d), "dedup_embedding_cosine", spec)
+    assert r["ok"], r["detail"]
+
+
 def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     """VERDICT r2 #6: the spherical-k-means quantizer must be (a)
     deterministic — the same centroid literals are inlined into the
