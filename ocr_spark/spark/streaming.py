@@ -78,6 +78,53 @@ def stream_extract(
     return writer.start()
 
 
+def stream_windowed_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Watermarked event-time rollup over an arriving events stream —
+    the late-data path of the rollup operator (relational.q_rollup
+    restated for streams): tumbling event-time windows + event_type,
+    append mode, so a window emits exactly once when the watermark
+    passes its end and events later than the watermark are dropped
+    rather than mutating a finalized window. Sums use the same
+    integer-quantum discipline as the batch rollup."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+                "value_millis"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_millis",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator: gap sessionization with applyInPandasWithState
 # --------------------------------------------------------------------------

@@ -53,6 +53,69 @@ def test_stream_extract_matches_oracle(spark, corpus_dir, oracle_extracted, tmp_
     assert len(glob.glob(os.path.join(out_dir, "*.parquet"))) == n_files_before
 
 
+def test_windowed_rollup_drops_late_events(spark, tmp_path):
+    """Watermark semantics: a tumbling window emits once, when the
+    watermark passes its end, and an event arriving later than the
+    watermark is dropped instead of mutating the finalized window."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.spark.streaming import stream_windowed_rollup
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    minute = dt.timedelta(minutes=1)
+
+    def write(name, rows):
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "event_id": i,
+                    "ts": ts,
+                    "user_id": 1,
+                    "event_type": "c",
+                    "value": 1.0,
+                }
+                for i, ts in enumerate(rows)
+            ]
+        )
+        pq.write_table(tbl, os.path.join(in_dir, name))
+
+    def drain():
+        q = stream_windowed_rollup(
+            spark, in_dir, out_dir, ckpt,
+            window="1 hour", watermark="30 minutes", available_now=True,
+        )
+        q.awaitTermination(600)
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:  # noqa: BLE001 — no output yet
+            return []
+
+    # batch 1: two events in [12:00, 13:00) + one at 14:59 that will
+    # advance the watermark to 14:29 after the batch
+    write("b1.parquet", [t0, t0 + 10 * minute, t0 + 179 * minute])
+    drain()
+
+    # batch 2: a LATE event for the 12:00 window (watermark has passed
+    # 13:00) + a fresh event; the late one must be dropped
+    write("b2.parquet", [t0 + 20 * minute, t0 + 180 * minute])
+    rows = {
+        (r["window_start"], r["event_type"]): r for r in drain()
+    }
+    key = (t0, "c")
+    assert key in rows, sorted(rows)
+    assert rows[key]["n_events"] == 2  # late event NOT merged
+    assert rows[key]["value_millis"] == 2000
+    assert rows[key]["window_end"] == t0 + 60 * minute
+
+
 def test_stateful_sessionize_across_batches(spark, tmp_path):
     """applyInPandasWithState: an open session survives the micro-batch
     boundary and only closes when a later batch reveals the gap."""
