@@ -31,6 +31,12 @@ class PreprocessConfig:
     noise_threshold: float = 0.1
     skew_threshold: float = 1.0
     contrast_threshold: float = 0.3
+    # kernel fidelity: "fast" = numpy stand-ins shared by oracle and
+    # pipeline (median3 / box-adaptive / bilinear); "cv2" = the
+    # reference's exact algorithms — real OpenCV when installed,
+    # faithful numpy equivalents (Keys A=-0.75 bicubic, gaussian
+    # adaptive) otherwise (kernels.py cv2-fidelity section)
+    fidelity: str = "fast"
 
 
 @dataclass(frozen=True)

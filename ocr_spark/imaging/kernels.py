@@ -2,11 +2,17 @@
 
 Each function reproduces the *semantics* the reference needs (gate
 decisions, geometry, determinism) without OpenCV, which is absent in this
-environment.  Where the exact cv2 algorithm is impractical in numpy
-(fastNlMeansDenoising, INTER_CUBIC) we substitute a deterministic
-equivalent (3x3 median, bilinear) — both the Spark pipeline and the
-single-process oracle share these kernels, so span-sequence equality is
-unaffected, and all threshold/gate semantics are preserved exactly.
+environment.  The default ("fast") kernels substitute deterministic
+equivalents (3x3 median, bilinear, box-adaptive) — both the Spark
+pipeline and the single-process oracle share these kernels, so
+span-sequence equality is unaffected, and all threshold/gate semantics
+are preserved exactly.  The cv2-fidelity section below
+(PreprocessConfig.fidelity="cv2") additionally provides the reference's
+exact algorithms: real OpenCV when installed (byte-parity with the
+reference), faithful numpy equivalents (Keys A=-0.75 bicubic, gaussian
+adaptive threshold) otherwise; only fastNlMeansDenoising has no
+practical numpy twin and falls back to median3, documented at
+nlmeans_denoise.
 
 Reference counterparts:
   to_gray ............. cv2.cvtColor RGB2GRAY (analyzer.py:41, grayscale.py:42-63)
@@ -354,6 +360,173 @@ def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
         strip += 0.5
         out[s:e] = strip
     return out
+
+
+# --------------------------------------------------------------------------
+# cv2-fidelity kernels (feature-detected OpenCV, faithful numpy fallback)
+# --------------------------------------------------------------------------
+
+
+def _cv2():
+    """Feature-detected OpenCV (the pdfio._fitz pattern): the fidelity
+    kernels call the real library when installed, so pixel output on a
+    cv2-equipped cluster matches the reference byte-for-byte; without it
+    the numpy implementations below reproduce the documented cv2
+    algorithms (same kernels/constants, float arithmetic instead of
+    cv2's fixed-point — sub-ULP-of-a-pixel differences only)."""
+    try:
+        import cv2  # type: ignore
+
+        return cv2
+    except ImportError:
+        return None
+
+
+def _cubic_weights(ts: np.ndarray) -> np.ndarray:
+    """cv2 INTER_CUBIC tap weights (Keys cubic, A=-0.75) for taps at
+    offsets (-1, 0, +1, +2) around the fractional positions `ts`.
+    The Keys family is a partition of unity: each column sums to 1."""
+    a = -0.75
+
+    def k(t):
+        at = np.abs(t)
+        return np.where(
+            at <= 1,
+            ((a + 2) * at - (a + 3)) * at * at + 1,
+            np.where(at < 2, a * (((at - 5) * at + 8) * at - 4), 0.0),
+        )
+
+    return np.stack([k(ts + 1), k(ts), k(ts - 1), k(ts - 2)]).astype(np.float32)
+
+
+def _resize_bicubic_np(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Separable Keys-cubic resize with cv2 half-pixel centers, clamped
+    borders, overshoot clipped; strip-wise like resize_bilinear so no
+    float temp exceeds ~16 MB (sandbox page-fault tax)."""
+    h, w = img.shape[:2]
+    if (new_w, new_h) == (w, h):
+        return img.copy()
+    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    wx = _cubic_weights((xs - x0).astype(np.float32))
+    wy = _cubic_weights((ys - y0).astype(np.float32))
+    xi = [np.clip(x0 + k, 0, w - 1) for k in (-1, 0, 1, 2)]
+    yi = [np.clip(y0 + k, 0, h - 1) for k in (-1, 0, 1, 2)]
+
+    f = img.astype(np.float32)
+    if img.ndim == 2:
+        row = np.zeros((h, new_w), np.float32)
+        for k in range(4):
+            tmp = f.take(xi[k], axis=1)
+            tmp *= wx[k][None, :]
+            row += tmp
+        out = np.empty((new_h, new_w), dtype=np.uint8)
+        step = max(1, (16 << 20) // (4 * new_w))
+        for s in range(0, new_h, step):
+            e = min(s + step, new_h)
+            strip = np.zeros((e - s, new_w), np.float32)
+            for k in range(4):
+                tmp = row.take(yi[k][s:e], axis=0)
+                tmp *= wy[k][s:e][:, None]
+                strip += tmp
+            np.clip(strip, 0, 255, out=strip)
+            strip += 0.5
+            out[s:e] = strip
+        return out
+    ch = img.shape[2]
+    row = np.zeros((h, new_w, ch), np.float32)
+    for k in range(4):
+        tmp = f.take(xi[k], axis=1)
+        tmp *= wx[k][None, :, None]
+        row += tmp
+    out = np.empty((new_h, new_w, ch), dtype=np.uint8)
+    step = max(1, (16 << 20) // (4 * new_w * ch))
+    for s in range(0, new_h, step):
+        e = min(s + step, new_h)
+        strip = np.zeros((e - s, new_w, ch), np.float32)
+        for k in range(4):
+            tmp = row.take(yi[k][s:e], axis=0)
+            tmp *= wy[k][s:e][:, None, None]
+            strip += tmp
+        np.clip(strip, 0, 255, out=strip)
+        strip += 0.5
+        out[s:e] = strip
+    return out
+
+
+def resize_bicubic(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """cv2.resize INTER_CUBIC (scaling.py:55-69) — real cv2 when
+    installed, Keys A=-0.75 numpy equivalent otherwise."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    return _resize_bicubic_np(img, new_w, new_h)
+
+
+def _gaussian_kernel_1d(block: int) -> np.ndarray:
+    """cv2.getGaussianKernel: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8,
+    normalized to sum 1."""
+    sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8
+    t = np.arange(block, dtype=np.float64) - (block - 1) / 2
+    g = np.exp(-(t * t) / (2 * sigma * sigma))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _binarize_adaptive_gaussian_np(gray: np.ndarray, c: float) -> np.ndarray:
+    h, w = gray.shape
+    block = max(11, min(101, min(w, h) // 20))
+    if block % 2 == 0:
+        block += 1
+    g = _gaussian_kernel_1d(block)
+    r = block // 2
+    f = gray.astype(np.float32)
+    p = np.pad(f, ((0, 0), (r, r)), mode="edge")
+    horiz = np.zeros_like(f)
+    for i in range(block):
+        horiz += g[i] * p[:, i : i + w]
+    p = np.pad(horiz, ((r, r), (0, 0)), mode="edge")
+    local = np.zeros_like(f)
+    for i in range(block):
+        local += g[i] * p[i : i + h, :]
+    return np.where(f > local - c, 255, 0).astype(np.uint8)
+
+
+def binarize_adaptive_gaussian(gray: np.ndarray, c: float = 11.0) -> np.ndarray:
+    """ADAPTIVE_THRESH_GAUSSIAN_C with the reference's block-size rule
+    (binarization.py:69-86) — real cv2 when installed, separable
+    gaussian-weighted local mean (replicated borders) otherwise."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        h, w = gray.shape
+        block = max(11, min(101, min(w, h) // 20))
+        if block % 2 == 0:
+            block += 1
+        return cv2.adaptiveThreshold(
+            gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
+            block, c,
+        )
+    return _binarize_adaptive_gaussian_np(gray, c)
+
+
+def nlmeans_denoise(img: np.ndarray, h: float = 10.0) -> np.ndarray:
+    """cv2.fastNlMeansDenoising(h, template 7, search 21)
+    (noise_removal.py:33-53) when cv2 is installed. There is no
+    practical pure-numpy NL-means at page sizes (441 search offsets x
+    49-pixel patches per pixel), so without cv2 this honestly falls back
+    to the 3x3 median stand-in — the documented fidelity gap, now scoped
+    to exactly one kernel."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        if img.ndim == 2:
+            return cv2.fastNlMeansDenoising(
+                img, None, h=h, templateWindowSize=7, searchWindowSize=21
+            )
+        return cv2.fastNlMeansDenoisingColored(
+            img, None, h=h, hColor=h, templateWindowSize=7, searchWindowSize=21
+        )
+    return median3(img)
 
 
 def rotate_expand(img: np.ndarray, angle_deg: float, bg: int = 255) -> np.ndarray:

@@ -80,6 +80,8 @@ def _apply_binarization(img: np.ndarray, cfg: PreprocessConfig) -> np.ndarray:
     if cfg.binarization_method == "otsu":
         return K.binarize_otsu(gray)
     if cfg.binarization_method == "adaptive":
+        if cfg.fidelity == "cv2":
+            return K.binarize_adaptive_gaussian(gray)
         return K.binarize_adaptive(gray)
     return gray
 
@@ -137,9 +139,14 @@ def preprocess(
         else:
             skipped.append(name)
 
+    denoise = (
+        (lambda x: K.nlmeans_denoise(x, float(cfg.denoise_strength)))
+        if cfg.fidelity == "cv2"
+        else K.median3
+    )
     _run("grayscale", _gate_grayscale(cur, a, cfg), lambda x: _apply_grayscale(x, cfg))
     _run("invert", cfg.auto_invert and a.is_inverted, K.invert)
-    _run("noise_removal", a.needs_denoising, K.median3)
+    _run("noise_removal", a.needs_denoising, denoise)
     _run(
         "deskew",
         cfg.auto_deskew and a.needs_deskewing and abs(a.skew_angle) >= 0.1,
@@ -151,7 +158,8 @@ def preprocess(
     f = _scale_factor(a, cfg)
     if f > 0.0:
         h, w = cur.shape[:2]
-        cur = K.resize_bilinear(cur, int(w * f), int(h * f))
+        resize = K.resize_bicubic if cfg.fidelity == "cv2" else K.resize_bilinear
+        cur = resize(cur, int(w * f), int(h * f))
         applied.append("scaling")
     else:
         skipped.append("scaling")
