@@ -706,7 +706,14 @@ def emb_dup_hyperplanes(table: int) -> list[list[float]]:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs over the embeddings table: multi-table
-    hyperplane-LSH candidates (capped buckets), exact-cosine confirm."""
+    hyperplane-LSH candidates (capped buckets), exact-cosine confirm.
+
+    Scale notes: every shuffle carries ids (vec_id, tbl, bkt / id
+    pairs), never embedding payloads — embeddings are re-fetched by key
+    join only for the candidate set. The bucket subtree appears once per
+    self-join side in the plan (Catalyst does not fuse DataFrame
+    self-joins); at production scale persist the capped bucket table
+    before pairing so the corpus scan for candidates happens once."""
     from pyspark.sql.window import Window
 
     from ocr_spark.functions.similarity import _bucket_col, _cos
