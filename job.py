@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
         "(default; best single-node) or png (~5-10x smaller — use on "
         "clusters where the chunk shuffle crosses the network)",
     )
+    p.add_argument(
+        "--fidelity", choices=["fast", "cv2"], default="fast",
+        help="preprocess kernel fidelity: fast numpy stand-ins (default)"
+        " or the reference's cv2 algorithms (real OpenCV when installed,"
+        " faithful numpy equivalents otherwise)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -98,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         span_partitions=args.span_partitions,
         doc_partitions=args.doc_partitions,
         chunk_codec=args.chunk_codec,
+        fidelity=args.fidelity,
     )
     print(json.dumps(report))
     return 0 if report["complete"] else 3

@@ -173,12 +173,18 @@ def run_extraction_job(
                 f"resume conflict: bucket {b} committed with filter="
                 f"{row.get('filter')}, this input implies {filter_method}"
             )
-        if row.get("mode", mode) != mode or row.get("profile", profile) != profile:
+        fid = pipeline_kw.get("fidelity") or "fast"
+        if (
+            row.get("mode", mode) != mode
+            or row.get("profile", profile) != profile
+            or row.get("fidelity", fid) != fid
+        ):
             import warnings
 
             warnings.warn(
                 f"bucket {b} committed with mode={row.get('mode')}/"
-                f"profile={row.get('profile')}; resuming with {mode}/{profile}",
+                f"profile={row.get('profile')}/fidelity={row.get('fidelity')}; "
+                f"resuming with {mode}/{profile}/{fid}",
                 stacklevel=2,
             )
     media_has_bucket = "bucket" in media_df.columns
@@ -292,6 +298,7 @@ def run_extraction_job(
                     "buckets_per_job": len(group),
                     "profile": profile,
                     "mode": mode,
+                    "fidelity": pipeline_kw.get("fidelity") or "fast",
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 },
             )

@@ -490,6 +490,7 @@ def run_pipeline(
     docs_filter=None,
     max_payload_bytes: int | None = None,
     chunk_codec: str = "raw",
+    fidelity: str | None = None,
 ) -> DataFrame:
     """documents + media -> extracted (EXTRACTED_SCHEMA).
 
@@ -498,12 +499,21 @@ def run_pipeline(
                     rebalance (heavy-doc skew path).
     docs_filter   — optional Column predicate applied to every scan of
                     the documents table (the resume bucket filter).
+    fidelity      — overrides PreprocessConfig.fidelity on the resolved
+                    profile ("fast" numpy stand-ins | "cv2" reference
+                    algorithms, kernels.py cv2-fidelity section).
 
     The media branch's pruned scan (no spans.text) works for any docs_df
     source — see _media_span_rows; no parquet-path special case needed.
     """
     if isinstance(profile, str):
         profile = get_profile(profile)
+    if fidelity is not None and fidelity != profile.preprocess.fidelity:
+        from dataclasses import replace
+
+        profile = replace(
+            profile, preprocess=replace(profile.preprocess, fidelity=fidelity)
+        )
     if docs_filter is not None:
         docs_df = docs_df.filter(docs_filter)
     # Heavy-compute stages want many small tasks: per-image cost varies by
