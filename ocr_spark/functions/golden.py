@@ -28,7 +28,7 @@ import tempfile
 GOLDEN_DOCS = 60
 GOLDEN_SKEW = 24
 # bump when fixture generation, kernels, or golden schemas change
-GOLDEN_VERSION = "v1"
+GOLDEN_VERSION = "v2"  # v2: skew estimated on denoised view for noisy pages
 
 _TABLES = ("extract_spans", "pdf_metadata", "image_stats", "quality")
 

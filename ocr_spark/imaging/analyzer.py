@@ -68,9 +68,17 @@ def analyze_quality(
     gx, gy = K._sobel(gray)
     mag = np.hypot(gx, gy)
     edges = mag > 200.0
-    skew_angle = (
-        K.hough_skew(gray, _precomputed=(mag, gx, gy)) if compute_skew else 0.0
-    )
+    if not compute_skew:
+        skew_angle = 0.0
+    elif noise_level > cfg.noise_threshold:
+        # salt-and-pepper noise floods the near-horizontal edge set with
+        # spurious gradient points and biases the accumulator peak (a
+        # noisy-but-level page can read as ~1.3 deg and get rotated into
+        # undecodability), so estimate on the same denoised view the
+        # noise_removal step will hand to downstream stages
+        skew_angle = K.hough_skew(K.median3(gray))
+    else:
+        skew_angle = K.hough_skew(gray, _precomputed=(mag, gx, gy))
 
     gmin, gmax = float(gray.min()), float(gray.max())
     contrast = 0.0 if (gmax + gmin) == 0 else (gmax - gmin) / (gmax + gmin)

@@ -184,6 +184,12 @@ def global_deskew(
     223-279).  Returns (image, was_deskewed, detected_angle).
     """
     gray = img if img.ndim == 2 else K.to_gray(img)
+    # estimate on a denoised view when the page is noisy — same rationale
+    # (and same gate) as analyze_quality's skew estimate: noise points
+    # bias the Hough peak, and the rotation they cause is what corrupts
+    # an otherwise-decodable page
+    if K.estimate_noise(gray) > cfg.noise_threshold:
+        gray = K.median3(gray)
     angle = K.hough_skew(gray)
     if abs(angle) < cfg.skew_threshold:
         return img, False, angle
