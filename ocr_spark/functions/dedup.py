@@ -49,6 +49,20 @@ SIMHASH_HAMMING_MAX = 3  # near-dup threshold (Manku: k=3 on 64 bits)
 _NORM = ("lower(text)", lambda c: F.lower(c))
 
 
+def _seeded_md5(prefix: str):
+    """element -> md5(prefix || element) lambda for F.transform.
+
+    Must be built by THIS factory, never by the default-arg idiom
+    ``lambda s, h=h: ...``: pyspark's higher-order functions dispatch on
+    the callable's ARITY, so a two-parameter lambda silently becomes the
+    (element, index) form — the "default" is replaced by the index
+    Column and ``f"{h}|"`` stringifies it into an arbitrary
+    plan-build-dependent seed (``"Column<'y_4'>|"``). That made the
+    minhash signatures nondeterministic across plan builds and diverge
+    from the oracle's seeds; see test_minhash_signatures_match_oracle_seeds."""
+    return lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+
+
 def _tokens_col():
     return F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != F.lit(""))
 
@@ -123,10 +137,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", _shingles_col().alias("shingles"))
     sigs = [
         F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s).cast("binary")),
-            )
+            F.transform(F.col("shingles"), _seeded_md5(f"{h}|"))
         ).alias(f"sig{h}")
         for h in range(MINHASH_H)
     ]
@@ -240,12 +251,7 @@ JAC_MH_B = JAC_MH_H // JAC_MH_R  # 4 bands
 def _gram_band_structs() -> "F.Column":
     """array<struct<band_id,band_val>> of minhash bands over `grams`."""
     sigs = [
-        F.array_min(
-            F.transform(
-                F.col("grams"),
-                lambda g, h=h: F.md5(F.concat(F.lit(f"jac{h}|"), g).cast("binary")),
-            )
-        )
+        F.array_min(F.transform(F.col("grams"), _seeded_md5(f"jac{h}|")))
         for h in range(JAC_MH_H)
     ]
     return F.array(
@@ -790,6 +796,103 @@ SELECT doc_a, doc_b, cos_sim FROM scored WHERE cos_sim >= {EMB_DUP_THRESH}
 """
 
 
+# --------------------------------------------------------------------------
+# near-dup clusters (connected components over the MinHash pair graph)
+# --------------------------------------------------------------------------
+
+# Pairs alone don't dedup a corpus: near-duplication is transitive in
+# practice (A~B, B~C => keep one of {A,B,C}), so the keep-list needs the
+# connected components of the confirmed-pair graph. The Spark side runs
+# label propagation ("hash-to-min": Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC 2014) — labels start at
+# doc_id and each round takes the min over the neighborhood, converging
+# in O(component diameter) rounds (near-dup clusters are cliquish, so
+# 2-3 rounds in practice; CC_MAX_ITERS is a safety bound). Each round is
+# one key-join + hash-agg over the (tiny) confirmed-edge set and the
+# (doc_id, rep) label frame — never the payload — so at 100 TB the loop
+# moves ids only. The driver-side action per round is a single SUM(rep)
+# scalar: labels decrease pointwise monotonically, so an unchanged sum
+# IS the fixpoint test.
+CLUSTER_JACCARD_MIN = 0.6
+CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc dedup cluster assignment: (doc_id, cluster_rep,
+    cluster_size, keep) where cluster_rep = min doc_id of the connected
+    component of confirmed MinHash near-dup pairs (jaccard >=
+    CLUSTER_JACCARD_MIN) and keep marks the canonical doc per cluster.
+    Singletons keep themselves. Reference analogue: the dedup stage of a
+    training-data pipeline emitting one representative per near-dup set."""
+    from pyspark.sql import Window
+
+    pairs = q_dedup_minhash(spark, sf_dir)
+    edges = pairs.filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+    # symmetric closure; min-agg tolerates duplicate edges
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    # confirmed-edge set is small (near-dup pairs); materialize once so
+    # the iterative joins below don't re-run the LSH subtree per round
+    ).localCheckpoint()
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        nbr = sym.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "rep")
+        # localCheckpoint truncates the per-round lineage (a durable
+        # spark.checkpoint dir is the production equivalent)
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("rep")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("rep")
+    return labels.select(
+        "doc_id",
+        F.col("rep").alias("cluster_rep"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("rep")).alias("keep"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # DuckDB computes the same components with a recursive CTE: reach
+    # propagates every starting label along (symmetric) edges; min over
+    # the labels that reach a node is its component representative.
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+), rep AS (
+  SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_rep,
+       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+       doc_id = cluster_rep AS keep
+FROM rep
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -797,4 +900,5 @@ QUERIES = {
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, _embedding_dup_sql()),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, _dedup_clusters_sql()),
 }

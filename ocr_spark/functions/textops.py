@@ -273,10 +273,162 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic stratified sampling (training-data mixing)
+# --------------------------------------------------------------------------
+
+# Per-language keep rates in basis points (of 10,000): downsample the
+# over-represented language, upsample the rest — the standard mixing
+# move when assembling a training corpus. The keep decision is a pure
+# function of doc_id (first 15 md5 hex chars as int64, mod 10k), so it
+# is reproducible across engines, runs, and cluster sizes — no RNG state
+# to coordinate, and re-ingesting the same doc samples identically.
+SAMPLE_SEED = "smp1"
+SAMPLE_RATES_BP: dict[str, int] = {"en": 3000, "de": 6000, "fr": 6000, "es": 6000}
+SAMPLE_DEFAULT_BP = 8000
+
+
+def _sample_u_col():
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{SAMPLE_SEED}|"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+
+
+def _rate_col():
+    c = F.lit(SAMPLE_DEFAULT_BP)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        c = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(c)
+    return c
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling report: (source, lang, n_total, n_kept,
+    kept_ids_md5). The keep rule runs map-side (one md5 per row, no
+    shuffle before the stratum agg); the md5 over the sorted kept-id
+    list pins the exact sampled set, not just its size. At 100 TB the
+    sampled corpus is the filter's output — this query is the audit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    kept = _sample_u_col() < _rate_col()
+    return (
+        docs.select("doc_id", "source", "lang", kept.alias("kept"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.when(F.col("kept"), F.col("doc_id")))
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("kept_ids_md5"),
+        )
+    )
+
+
+def _sample_sql() -> str:
+    rate_case = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}"
+        for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5('{SAMPLE_SEED}|' || doc_id), 1, 15))::BIGINT % 10000
+           < (CASE {rate_case} ELSE {SAMPLE_DEFAULT_BP} END) AS kept
+  FROM documents
+)
+SELECT source, lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(
+         list_transform(list_sort(list(doc_id) FILTER (WHERE kept)),
+                        x -> x::VARCHAR),
+         ','), '')) AS kept_ids_md5
+FROM s
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary: global top-K terms
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+# keep unicode letters/digits, fold everything else to whitespace
+VOCAB_STRIP_PATTERN = "[^\\p{L}\\p{N}\\s]"
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K vocabulary terms: (term, term_count, rank). The
+    count is a map-side-combined hash-agg (vocabulary-sized output, not
+    corpus-sized), and the top-K is orderBy+limit — Spark compiles it to
+    TakeOrderedAndProject (per-partition top-K then a K-row merge), so
+    no single-partition sort of the vocabulary ever happens. The rank
+    window runs over the K surviving rows only."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = F.explode(
+        _ws_tokens(
+            F.regexp_replace(F.lower(F.col("text")), VOCAB_STRIP_PATTERN, " ")
+        )
+    )
+    counts = (
+        docs.select(terms.alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+    )
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    return top.select(
+        "term", "term_count", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def _vocab_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '{VOCAB_STRIP_PATTERN}', ' ', 'g'),
+             '\\s+'),
+           w -> w != '')) AS term
+  FROM documents
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS term_count FROM tok GROUP BY 1
+), t AS (
+  SELECT term, term_count FROM c ORDER BY term_count DESC, term LIMIT {VOCAB_TOP_K}
+)
+SELECT term, term_count,
+       CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INT) AS rank
+FROM t
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(q_lang_id, _lang_sql()),
     "text_fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
     "text_boilerplate": QuerySpec(q_boilerplate, _boilerplate_sql()),
+    "sample_stratified": QuerySpec(q_sample_stratified, _sample_sql()),
+    "vocab_top_terms": QuerySpec(q_vocab_top_terms, _vocab_sql()),
 }

@@ -229,3 +229,130 @@ def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
     assert (1, 2) in got, got  # the straddling pair is found
     r = compare_query(spark, str(d), "dedup_ngram_jaccard", spec)
     assert r["ok"], r["detail"]
+
+
+def test_dedup_clusters_are_transitive(spark, tmp_path):
+    """A~B and B~C above the threshold but A~C below it must still land
+    all three in ONE cluster (that's what connected components adds over
+    the pairwise queries), with the min doc_id as representative and
+    exactly one keep per cluster — and the Spark label-propagation loop
+    must match the recursive-CTE oracle on the crafted corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import QUERIES
+
+    words = [f"w{i:02d}" for i in range(30)]
+    rows = [
+        # B spans A and C; A and C overlap too little to pair directly
+        {"doc_id": 10, "text": " ".join(words[0:22])},   # A
+        {"doc_id": 11, "text": " ".join(words[0:30])},   # B
+        {"doc_id": 12, "text": " ".join(words[8:30])},   # C
+        {"doc_id": 13, "text": "completely unrelated content here"},
+    ]
+    d = tmp_path / "sf_chain"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["dedup_clusters"]
+    out = {r["doc_id"]: r for r in spec.fn(spark, str(d)).collect()}
+    assert {out[i]["cluster_rep"] for i in (10, 11, 12)} == {10}
+    assert {out[i]["cluster_size"] for i in (10, 11, 12)} == {3}
+    assert [out[i]["keep"] for i in (10, 11, 12, 13)] == [True, False, False, True]
+    assert out[13]["cluster_rep"] == 13 and out[13]["cluster_size"] == 1
+    r = compare_query(spark, str(d), "dedup_clusters", spec)
+    assert r["ok"], r["detail"]
+
+
+def test_stratified_sample_is_reproducible_per_doc(spark, tmp_path):
+    """The keep decision is a pure function of doc_id: the same doc must
+    sample identically regardless of which corpus (or corpus size) it
+    appears in — the property that makes the sample re-ingestion-stable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.textops import QUERIES
+
+    def write(path, ids):
+        rows = [
+            {"doc_id": i, "source": "s", "lang": "en", "text": "t"} for i in ids
+        ]
+        path.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(path / "documents.parquet"))
+
+    spec = QUERIES["sample_stratified"]
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    write(small, range(50))
+    write(big, range(200))
+    h_small = spec.fn(spark, str(small)).collect()[0]["kept_ids_md5"]
+    rows_big = spec.fn(spark, str(big)).collect()[0]
+    # re-derive the big corpus' per-doc keeps and restrict to ids < 50:
+    # they must hash to exactly the small corpus' kept set
+    import hashlib
+
+    from ocr_spark.functions.textops import _rate_col, _sample_u_col
+
+    docs = spark.read.parquet(f"{big}/documents.parquet")
+    kept = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", (_sample_u_col() < _rate_col()).alias("k")
+        ).collect()
+        if r["k"]
+    ]
+    sub = sorted(i for i in kept if i < 50)
+    assert (
+        hashlib.md5(",".join(str(i) for i in sub).encode()).hexdigest() == h_small
+    )
+    assert rows_big["n_total"] == 200
+
+
+def test_minhash_signatures_match_oracle_seeds(spark, tmp_path):
+    """The minhash signature for hash h must be md5(f"{h}|" || shingle)
+    minimized over the doc's shingles — the exact seeds the DuckDB
+    oracle uses. Regression for a silent arity bug: `lambda s, h=h: ...`
+    inside F.transform is the two-parameter (element, index) form, so h
+    was bound to the index Column and the seed stringified to an
+    arbitrary plan-build-dependent "Column<'y_N'>|" — nondeterministic
+    across plan builds and never equal to the oracle's seeds. The LSH
+    still *looked* green because true near-dups collide under any seed."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import (
+        MINHASH_H,
+        _seeded_md5,
+        _shingles_col,
+    )
+
+    words = [f"w{i:02d}" for i in range(22)]
+    text = " ".join(words)
+    d = tmp_path / "sf_sig"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 1, "text": text}]),
+        str(d / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    # same two-step projection shape as q_dedup_minhash
+    sh = docs.select("doc_id", _shingles_col().alias("shingles"))
+    sigs = [
+        F.array_min(
+            F.transform(F.col("shingles"), _seeded_md5(f"{h}|"))
+        ).alias(f"sig{h}")
+        for h in range(MINHASH_H)
+    ]
+    row = sh.select(F.col("shingles"), *sigs).collect()[0]
+    expected = {
+        h: min(
+            hashlib.md5(f"{h}|{s}".encode()).hexdigest() for s in row["shingles"]
+        )
+        for h in range(MINHASH_H)
+    }
+    for h in range(MINHASH_H):
+        assert row[f"sig{h}"] == expected[h], f"sig{h} has a wrong seed"
