@@ -154,6 +154,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_clusters",
+        "sample_stratified",
+        "vocab_top_terms",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",

@@ -52,3 +52,76 @@ def test_job_main_catalog_tables(spark, corpus_dir, tmp_path):
         os.path.join(out_dir, "bucket=0"), os.path.join(out_dir, "bucket=1")
     ).count()
     assert n == docs.count()
+
+
+def test_job_survives_real_sigkill(corpus_dir, tmp_path):
+    """Real crash-resume: job.py runs as a SEPARATE process, gets
+    SIGKILL'd after its first bucket group commits, and a rerun
+    completes the job WITHOUT rewriting the committed buckets (their
+    manifest files stay byte-identical — the committed work is not
+    redone) while producing the full output."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["PYSPARK_SUBMIT_ARGS"] = "--master local[4] pyspark-shell"
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    argv = [
+        sys.executable, os.path.join(os.path.dirname(__file__), "..", "job.py"),
+        "--input", os.path.join(corpus_dir, "documents.parquet"),
+        "--media", os.path.join(corpus_dir, "media.parquet"),
+        "--out", out_dir, "--run-id", "k9",
+        "--buckets", "8", "--buckets-per-job", "2", "--span-partitions", "8",
+    ]
+    proc = subprocess.Popen(
+        argv, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    mdir = os.path.join(out_dir, "_manifest")
+
+    def committed():
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(f for f in os.listdir(mdir) if f.endswith(".json"))
+
+    deadline = time.time() + 600
+    while time.time() < deadline and proc.poll() is None and not committed():
+        time.sleep(0.05)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    first = committed()
+    assert first, "no bucket committed before the kill/exit"
+    if len(first) == 8:
+        import pytest
+
+        pytest.skip("job completed before SIGKILL landed; nothing to resume")
+    # snapshot committed manifests: a resume must not rewrite them
+    snap = {}
+    for f in first:
+        with open(os.path.join(mdir, f), "rb") as fh:
+            snap[f] = fh.read()
+
+    import job
+
+    rc = job.main(
+        [
+            "--input", os.path.join(corpus_dir, "documents.parquet"),
+            "--media", os.path.join(corpus_dir, "media.parquet"),
+            "--out", out_dir, "--run-id", "k9-resume",
+            "--buckets", "8", "--buckets-per-job", "2", "--span-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    assert len(committed()) == 8
+    for f, body in snap.items():
+        with open(os.path.join(mdir, f), "rb") as fh:
+            assert fh.read() == body, f"committed bucket {f} was redone"
+
+    from ocr_spark.spark.checkpoint import read_extracted
+    from ocr_spark.spark.session import get_spark
+
+    spark = get_spark("local[4]", shuffle_partitions=8)
+    assert read_extracted(spark, out_dir).count() == 24

@@ -158,3 +158,29 @@ def test_hybrid_pruned_media_scans(spark, corpus_dir):
         assert "heavy" in pf, line
     ref_only = [l for l in media_scans if l not in png_scans]
     assert ref_only, plan  # the anti-join scan exists and reads no png
+
+
+def test_vocab_topk_is_distributed(spark):
+    """vocab_top_terms must compile the top-K to TakeOrderedAndProject
+    (per-partition top-K + K-row merge) — never a global Sort of the
+    whole vocabulary onto one partition."""
+    from ocr_spark.functions.textops import q_vocab_top_terms
+
+    plan = _plan(q_vocab_top_terms(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Sort allowed is the window over the K surviving rows;
+    # the aggregate's input must not be globally sorted
+    head, _, tail = plan.partition("TakeOrderedAndProject")
+    assert "Sort" not in head.split("== Physical Plan ==")[-1], plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """The sampling decision is map-side; the only Exchange is the
+    stratum aggregation's (partial agg -> final agg)."""
+    plan = _plan(
+        __import__("ocr_spark.functions.textops", fromlist=["x"]).q_sample_stratified(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # formatted plans list each node twice (tree + detail)
