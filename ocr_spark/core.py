@@ -27,7 +27,7 @@ import numpy as np
 from ocr_spark.config import EngineProfile, get_profile
 from ocr_spark.extract.glyph import extract_text
 from ocr_spark.imaging.png import decode_png
-from ocr_spark.imaging.preprocess import global_deskew, preprocess
+from ocr_spark.imaging.preprocess import global_deskew_ex, preprocess
 from ocr_spark.merge.merger import ChunkText, merge_chunks
 from ocr_spark.pdfio import is_pdf, render_pages
 from ocr_spark.splitting.split import smart_split
@@ -51,21 +51,28 @@ def process_image(img: np.ndarray, profile: EngineProfile) -> MediaResult:
     pre_cfg = profile.preprocess
     steps: set[str] = set()
 
-    # 1. global deskew before splitting (processor.py:159-164)
+    # 1. global deskew before splitting (processor.py:159-164); keeps the
+    # gray/noise/Sobel intermediates for the passthrough-chunk analysis
+    reuse = None
     if pre_cfg.auto_deskew:
-        img, was_deskewed, _angle = global_deskew(img, pre_cfg)
+        img, was_deskewed, _angle, reuse = global_deskew_ex(img, pre_cfg)
         if was_deskewed:
             steps.add("global_deskew")
 
     # 2. split cascade (splitter.py:50-76)
     outcome = smart_split(img, profile.split)
 
-    # 3. per-chunk preprocess (deskew force-disabled, processor.py:103)
+    # 3. per-chunk preprocess (deskew force-disabled, processor.py:103).
+    # The common single-chunk passthrough hands the SAME page object back
+    # (split.py _single_chunk), so the global pass's analysis reuses
+    # bit-identically; any real split produces new arrays -> no reuse.
     chunk_cfg = replace(pre_cfg, auto_deskew=False)
     chunk_texts: list[ChunkText] = []
     confs: list[float] = []
     for chunk in outcome.chunks:
-        pres = preprocess(chunk.image, chunk_cfg)
+        pres = preprocess(
+            chunk.image, chunk_cfg, reuse=reuse if chunk.image is img else None
+        )
         steps.update(pres.steps_applied)
         text, conf = extract_text(pres.image)
         chunk_texts.append(

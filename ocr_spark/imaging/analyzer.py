@@ -51,22 +51,47 @@ def estimate_dpi(width: int, height: int) -> int:
     return max(72, min(600, dpi))
 
 
+@dataclass(frozen=True)
+class AnalysisReuse:
+    """Intermediates computed by global_deskew, valid ONLY while the image
+    pixels are provably unchanged (no rotation applied and the analyzed
+    chunk is the whole page object). Reuse is bit-identical by
+    construction — the same kernel functions over the same pixels — so
+    the oracle/pipeline equality contract is unaffected."""
+
+    gray: np.ndarray
+    noise_level: float
+    sobel: tuple[np.ndarray, np.ndarray, np.ndarray] | None  # (mag, gx, gy)
+
+
 def analyze_quality(
-    img: np.ndarray, cfg: PreprocessConfig, compute_skew: bool = True
+    img: np.ndarray,
+    cfg: PreprocessConfig,
+    compute_skew: bool = True,
+    reuse: AnalysisReuse | None = None,
 ) -> QualityAnalysis:
     """One analysis pass; `compute_skew=False` skips the Hough transform
     (used for per-chunk analysis where deskew is force-disabled —
-    processor.py:103 — so the angle would be dead weight)."""
+    processor.py:103 — so the angle would be dead weight). `reuse` hands
+    back the gray/noise/Sobel a preceding global_deskew computed on the
+    same pixels (see AnalysisReuse)."""
     is_gray = img.ndim == 2
-    gray = img if is_gray else K.to_gray(img)
+    if reuse is not None:
+        gray = reuse.gray
+        noise_level = reuse.noise_level
+    else:
+        gray = img if is_gray else K.to_gray(img)
+        noise_level = K.estimate_noise(gray)
     height, width = gray.shape
 
     blur_score = K.laplacian_var(gray)
-    noise_level = K.estimate_noise(gray)
 
     # one Sobel pass feeds the edge mask (A7/A8) and the Hough estimate (A3)
-    gx, gy = K._sobel(gray)
-    mag = np.hypot(gx, gy)
+    if reuse is not None and reuse.sobel is not None:
+        mag, gx, gy = reuse.sobel
+    else:
+        gx, gy = K._sobel(gray)
+        mag = np.hypot(gx, gy)
     edges = mag > 200.0
     if not compute_skew:
         skew_angle = 0.0

@@ -73,6 +73,60 @@ def _box_mean_block(img_f: np.ndarray, k: int) -> np.ndarray:
 _BOX_STRIP_ELEMS = 2 << 20
 
 
+def _box_mean_block_u8(img_u8: np.ndarray, k: int, sq: bool = False) -> np.ndarray:
+    """Integer-exact twin of _box_mean_block for uint8 inputs.
+
+    Window sums are exact integers in int32/int64 just as they are in
+    float64, so sum/(k*k) rounds identically — bit-identical to
+    box_mean(img.astype(float64)[**2], k) at roughly half the memory
+    traffic (int32 cumsums vs float64, and no float conversion pass).
+    """
+    pad = k // 2
+    padded = np.pad(img_u8, pad, mode="edge")
+    if sq:
+        p = padded.astype(np.int32)
+        p *= p  # <= 255^2; row sums need int64 below
+        cs = p.cumsum(axis=0, dtype=np.int64)
+        dt2 = np.int64
+    else:
+        cs = padded.cumsum(axis=0, dtype=np.int32)
+        dt2 = np.int32
+    rows = np.empty((cs.shape[0] - k + 1, cs.shape[1]), dtype=cs.dtype)
+    rows[0] = cs[k - 1]
+    np.subtract(cs[k:], cs[:-k], out=rows[1:])
+    cs2 = rows.cumsum(axis=1, dtype=dt2)
+    summed = np.empty((rows.shape[0], cs2.shape[1] - k + 1), dtype=dt2)
+    summed[:, 0] = cs2[:, k - 1]
+    np.subtract(cs2[:, k:], cs2[:, :-k], out=summed[:, 1:])
+    return summed / (k * k)
+
+
+def box_mean_u8(img_u8: np.ndarray, k: int, sq: bool = False) -> np.ndarray:
+    """box_mean over a uint8 image (optionally of its squared values),
+    bit-identical to the float64 path (see _box_mean_block_u8). Strips
+    like box_mean; int32 temps allow 2x wider strips."""
+    h, w = img_u8.shape
+    # int32 horizontal cumsum of k-row window sums must not overflow:
+    # values <= 255*k, accumulated over w+k columns
+    if not sq and 255 * k * (w + k + 1) >= 2**31:
+        return box_mean(img_u8.astype(np.float64), k)
+    elems = _BOX_STRIP_ELEMS if sq else 2 * _BOX_STRIP_ELEMS
+    if h * w <= elems or h <= 2 * k:
+        return _box_mean_block_u8(img_u8, k, sq)
+    pad = k // 2
+    out = np.empty((h, w), dtype=np.float64)
+    step = max(k, elems // w)
+    for s in range(0, h, step):
+        e = min(s + step, h)
+        s0, e0 = max(0, s - pad), min(h, e + pad)
+        block = img_u8[s0:e0]
+        top, bot = pad - (s - s0), pad - (e0 - e)
+        if top or bot:
+            block = np.pad(block, ((top, bot), (0, 0)), mode="edge")
+        out[s:e] = _box_mean_block_u8(block, k, sq)[pad:pad + (e - s)]
+    return out
+
+
 def box_mean(img_f: np.ndarray, k: int) -> np.ndarray:
     """k x k moving average with replicate borders (float in/out).
 
@@ -110,9 +164,13 @@ def laplacian_var(gray: np.ndarray) -> float:
 
 def estimate_noise(gray: np.ndarray) -> float:
     """Median local std-dev over 5x5 windows, normalized by 50, clamped [0,1] (A2)."""
-    g = gray.astype(np.float64)
-    mean = box_mean(g, 5)
-    sq_mean = box_mean(g * g, 5)
+    if gray.dtype == np.uint8:
+        mean = box_mean_u8(gray, 5)
+        sq_mean = box_mean_u8(gray, 5, sq=True)
+    else:
+        g = gray.astype(np.float64)
+        mean = box_mean(g, 5)
+        sq_mean = box_mean(g * g, 5)
     variance = sq_mean - mean * mean
     noise = float(np.median(np.sqrt(np.abs(variance))))
     return min(1.0, noise / 50.0)
@@ -260,8 +318,13 @@ def binarize_adaptive(gray: np.ndarray, c: float = 11.0) -> np.ndarray:
     block = max(11, min(101, min(w, h) // 20))
     if block % 2 == 0:
         block += 1
-    local = box_mean(gray.astype(np.float64), block)
-    return np.where(gray.astype(np.float64) > local - c, 255, 0).astype(np.uint8)
+    if gray.dtype == np.uint8:
+        local = box_mean_u8(gray, block)
+    else:
+        local = box_mean(gray.astype(np.float64), block)
+    # the comparison ufunc promotes uint8 -> float64 per buffer; no full
+    # float copy of the image is materialized
+    return np.where(gray > local - c, 255, 0).astype(np.uint8)
 
 
 # --------------------------------------------------------------------------

@@ -16,7 +16,7 @@ import numpy as np
 
 from ocr_spark.config import PreprocessConfig
 from ocr_spark.imaging import kernels as K
-from ocr_spark.imaging.analyzer import QualityAnalysis, analyze_quality
+from ocr_spark.imaging.analyzer import AnalysisReuse, QualityAnalysis, analyze_quality
 
 STEP_ORDER = (
     "grayscale",
@@ -70,8 +70,15 @@ def _gate_binarization(img: np.ndarray, cfg: PreprocessConfig) -> bool:
     # steps/binarization.py:31-42: configured method, skip if already binary
     if cfg.binarization_method == "none":
         return False
-    if img.ndim == 2 and np.unique(img).size <= 2:
-        return False
+    if img.ndim == 2:
+        # distinct-value count via bincount (uint8) — ~13x cheaper than
+        # np.unique's sort on page-sized images, same gate decision
+        if img.dtype == np.uint8:
+            n_distinct = int((np.bincount(img.ravel(), minlength=256) > 0).sum())
+        else:
+            n_distinct = np.unique(img).size
+        if n_distinct <= 2:
+            return False
     return True
 
 
@@ -103,6 +110,7 @@ def preprocess(
     img: np.ndarray,
     cfg: PreprocessConfig,
     analysis: QualityAnalysis | None = None,
+    reuse: AnalysisReuse | None = None,
 ) -> PreprocessResult:
     """Run the gated preprocessing fold on one image.
 
@@ -110,12 +118,14 @@ def preprocess(
     gate (pipeline.py:144-158): steps see the progressively transformed
     image but decide from the initial analysis, except gates that are
     defined on the current image (binary check, dynamic range).
+    `reuse` forwards global_deskew's intermediates to analyze_quality —
+    only pass it when the pixels are unchanged (see AnalysisReuse).
     """
     original_size = (img.shape[1], img.shape[0])
     if analysis is not None:
         a = analysis
     else:
-        a = analyze_quality(img, cfg, compute_skew=cfg.auto_deskew)
+        a = analyze_quality(img, cfg, compute_skew=cfg.auto_deskew, reuse=reuse)
 
     if not cfg.enabled:
         return PreprocessResult(
@@ -174,6 +184,40 @@ def preprocess(
     )
 
 
+# pages above this pixel count will (almost) always split into chunks,
+# so retaining their 3x float32 Sobel planes for passthrough reuse would
+# only pin memory during the split cascade
+_REUSE_SOBEL_MAX_PX = 4 << 20
+
+
+def global_deskew_ex(
+    img: np.ndarray, cfg: PreprocessConfig
+) -> tuple[np.ndarray, bool, float, AnalysisReuse | None]:
+    """global_deskew plus the analysis intermediates for bit-identical
+    reuse by the passthrough chunk's analyze_quality (core.process_image):
+    when the page is NOT rotated, the single-chunk analysis would
+    recompute gray, noise and (on non-noisy pages) the very same Sobel
+    over the exact same pixels. Returns (image, was_deskewed, angle,
+    reuse); reuse is None whenever the pixels changed."""
+    gray = img if img.ndim == 2 else K.to_gray(img)
+    noise = K.estimate_noise(gray)
+    # estimate on a denoised view when the page is noisy — same rationale
+    # (and same gate) as analyze_quality's skew estimate: noise points
+    # bias the Hough peak, and the rotation they cause is what corrupts
+    # an otherwise-decodable page
+    if noise > cfg.noise_threshold:
+        angle = K.hough_skew(K.median3(gray))
+        sobel = None
+    else:
+        gx, gy = K._sobel(gray)
+        mag = np.hypot(gx, gy)
+        angle = K.hough_skew(gray, _precomputed=(mag, gx, gy))
+        sobel = (mag, gx, gy) if gray.size <= _REUSE_SOBEL_MAX_PX else None
+    if abs(angle) < cfg.skew_threshold:
+        return img, False, angle, AnalysisReuse(gray, noise, sobel)
+    return K.rotate_expand(img, -angle), True, angle, None
+
+
 def global_deskew(
     img: np.ndarray, cfg: PreprocessConfig
 ) -> tuple[np.ndarray, bool, float]:
@@ -183,14 +227,5 @@ def global_deskew(
     the reference's global-deskew rewrite (processor.py:95-110,159-164,
     223-279).  Returns (image, was_deskewed, detected_angle).
     """
-    gray = img if img.ndim == 2 else K.to_gray(img)
-    # estimate on a denoised view when the page is noisy — same rationale
-    # (and same gate) as analyze_quality's skew estimate: noise points
-    # bias the Hough peak, and the rotation they cause is what corrupts
-    # an otherwise-decodable page
-    if K.estimate_noise(gray) > cfg.noise_threshold:
-        gray = K.median3(gray)
-    angle = K.hough_skew(gray)
-    if abs(angle) < cfg.skew_threshold:
-        return img, False, angle
-    return K.rotate_expand(img, -angle), True, angle
+    out, was_deskewed, angle, _ = global_deskew_ex(img, cfg)
+    return out, was_deskewed, angle
