@@ -761,7 +761,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     before pairing so the corpus scan for candidates happens once."""
     from pyspark.sql.window import Window
 
-    from ocr_spark.functions.similarity import _bucket_col, _cos
+    from ocr_spark.functions.similarity import _bucket_col, _cos_pre, _norm_col
 
     emb = load(spark, sf_dir, "embeddings")
     parts = [
@@ -794,13 +794,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    # norms hoisted once per vector (see similarity._norm_col): the
+    # confirm join folds 1 dot per pair instead of 3 — bit-identical
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
     return (
         cand.join(ea, "doc_a")
         .join(eb, "doc_b")
         .select(
-            "doc_a", "doc_b", _cos(F.col("ea"), F.col("eb")).alias("cos_sim")
+            "doc_a",
+            "doc_b",
+            _cos_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= EMB_DUP_THRESH)
     )

