@@ -408,31 +408,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute exists; the block key is also the join key, so at scale
     this is a co-partitioned self-join, never an all-pairs. Blocks over
     JAC_BLOCK_CAP take the band-prefiltered path (see module constant
-    docs): direct pairing is then bounded by cap^2 per probe key."""
+    docs): direct pairing is then bounded by cap^2 per probe key.
+
+    Scan discipline (plan-test asserted): pair generation reads only
+    (doc_id, source, n_chars) — the text column is scanned by exactly
+    four branches (two band-join sides over the affected subset, two
+    scoring sides over the candidate set), never by the probe joins."""
     t2 = _jac_docs_flagged(spark, sf_dir)
-    a = _with_probe(t2).alias("a")
-    b = t2.alias("b")
+    # pair generation runs over KEYS ONLY (grams pruned all the way down
+    # to the scan — the probe-join shuffles never carry gram arrays or
+    # text bytes); both candidate sources emit id pairs, and ONE scoring
+    # join fetches grams by doc_id for exactly the surviving pairs. The
+    # two sources are disjoint by construction (direct: neither endpoint
+    # big; banded: at least one big), so the union needs no dedup.
+    keys = t2.select("doc_id", "source", "lb", "is_big")
+    a = _with_probe(keys).alias("a")
+    b = keys.alias("b")
     direct = a.join(
         b,
         _probe_join_cond() & ~F.col("a.is_big") & ~F.col("b.is_big"),
-    )
-    # grams are per-doc distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|:
-    # one array op per pair instead of two (the per-pair set ops dominate
-    # this query's cost; the sizes ride along as ints). Materialized in
-    # its own projection so the downstream references don't re-inline
-    # the array_intersect.
-    direct_scored = direct.select(
+    ).select(
         F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        (F.col("a.ng") + F.col("b.ng")).alias("n_total"),
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias(
-            "inter"
-        ),
     )
-    cand = ngram_jaccard_banded_candidates(t2)
+    pairs = direct.unionByName(ngram_jaccard_banded_candidates(t2))
     g = t2.select("doc_id", "grams", "ng")
-    banded_scored = (
-        cand.join(
+    # grams are per-doc distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|:
+    # one array op per pair instead of two (the per-pair set ops dominate
+    # this query's cost; the sizes ride along as ints).
+    scored = (
+        pairs.join(
             g.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("grams").alias("ga"),
@@ -455,7 +460,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect(F.col("ga"), F.col("gb"))).alias("inter"),
         )
     )
-    scored = direct_scored.unionByName(banded_scored)
     union = F.col("n_total") - F.col("inter")
     jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(
         F.lit(1.0)

@@ -184,3 +184,22 @@ def test_stratified_sample_single_shuffle(spark):
     )
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # formatted plans list each node twice (tree + detail)
+
+
+def test_jaccard_pair_generation_never_reads_text(spark):
+    """dedup_ngram_jaccard scan discipline: the probe/pair-generation
+    joins run over keys only — at 100 TB the text column dominates scan
+    bytes, so it may be read solely by the band sides (affected subset)
+    and the two per-pair scoring sides, never by pair generation."""
+    import re
+
+    from ocr_spark.functions.dedup import q_dedup_ngram_jaccard
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+    schemas = re.findall(r"ReadSchema: struct<[^\n]*", plan)
+    text_scans = [s for s in schemas if "text" in s]
+    keyed_scans = [s for s in schemas if "text" not in s]
+    # formatted plans list each scan once in the detail section
+    assert len(text_scans) <= 4, plan
+    # pair generation exists and is text-free
+    assert keyed_scans, plan
