@@ -135,13 +135,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     )
     sh = docs.select("doc_id", _shingles_col().alias("shingles"))
+    # lane-split signatures (see _MD5_LANES): sig[s*4+lane] = min over
+    # shingles of hex lane `lane` of md5(seed_s || shingle) — 3 md5
+    # passes instead of 12, materialized once in their own projection
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.transform("shingles", _seeded_md5(seed)).alias(f"mh{s}")
+            for s, seed in enumerate(MINHASH_SEEDS)
+        ],
+    )
     sigs = [
-        F.array_min(
-            F.transform(F.col("shingles"), _seeded_md5(f"{h}|"))
-        ).alias(f"sig{h}")
-        for h in range(MINHASH_H)
+        _lane_col(f"mh{s}", lane).alias(f"sig{s * _MD5_LANES + lane}")
+        for s in range(len(MINHASH_SEEDS))
+        for lane in range(_MD5_LANES)
     ]
-    sig_df = sh.select("doc_id", "shingles", *sigs)
+    sig_df = hashed.select("doc_id", "shingles", *sigs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -185,9 +195,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # lane-split, mirroring q_dedup_minhash: sig[s*4+lane] = min over
+    # shingles of hex lane `lane` of md5(seed_s || shingle)
+    hashed_cols = ",\n         ".join(
+        f"list_transform(shingles, s -> md5('{seed}' || s)) AS mh{s}"
+        for s, seed in enumerate(MINHASH_SEEDS)
+    )
     sig_cols = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS sig{h}"
-        for h in range(MINHASH_H)
+        "list_min(list_transform(mh{s}, h -> substr(h, {start}, 8))) "
+        "AS sig{i}".format(s=s, start=1 + 8 * lane, i=s * _MD5_LANES + lane)
+        for s in range(len(MINHASH_SEEDS))
+        for lane in range(_MD5_LANES)
     )
     band_rows = ", ".join(
         "{{'band_id': {b}, 'band_val': md5({parts})}}".format(
@@ -201,10 +219,14 @@ def _minhash_sql() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), hashed AS (
+  SELECT doc_id, shingles,
+         {hashed_cols}
+  FROM sh
 ), sig AS (
   SELECT doc_id, shingles,
          {sig_cols}
-  FROM sh
+  FROM hashed
 ), bands AS (
   SELECT doc_id, shingles, u.band_id AS band_id, u.band_val AS band_val
   FROM sig, unnest([{band_rows}]) AS t(u)
@@ -248,13 +270,15 @@ JAC_MH_R = 2
 JAC_MH_B = JAC_MH_H // JAC_MH_R  # 4 bands
 
 
-# lane split: each md5 hex digest yields 4 independent 32-bit (8-hex)
-# minhash lanes, so the JAC_MH_H = 8 signatures need only 2 md5 passes
-# over the gram arrays instead of 8 — md5 is the dominant cost of the
-# band prefilter (measured 3-4x on the sf0.1 suite). 32-bit lanes are
-# ample for minhash over ~10^3-element gram sets.
-_JAC_SEEDS = ("jacA|", "jacB|")
-_JAC_LANES = 4
+# lane split (shared by MinHash-LSH and the Jaccard band prefilter):
+# each md5 hex digest yields _MD5_LANES independent 32-bit (8-hex)
+# minhash lanes, so H signatures need only H/4 md5 passes over the
+# token arrays instead of H — md5 is the dominant cost of every
+# signature projection (measured 3-4x on the sf0.1 suite). 32-bit
+# lanes are ample for minhash over ~10^3-element token sets.
+_MD5_LANES = 4
+_JAC_SEEDS = ("jacA|", "jacB|")  # JAC_MH_H=8 -> 2 passes
+MINHASH_SEEDS = ("mh0|", "mh1|", "mh2|")  # MINHASH_H=12 -> 3 passes
 
 
 def _lane_col(hashed_col: str, lane: int) -> "F.Column":
@@ -270,7 +294,7 @@ def _gram_band_structs() -> "F.Column":
     sigs = [
         _lane_col(f"h{s}", lane)
         for s in range(len(_JAC_SEEDS))
-        for lane in range(_JAC_LANES)
+        for lane in range(_MD5_LANES)
     ]
     return F.array(
         *[
@@ -478,7 +502,7 @@ def _ngram_jaccard_sql() -> str:
             s=s, start=1 + 8 * lane
         )
         for s in range(len(_JAC_SEEDS))
-        for lane in range(_JAC_LANES)
+        for lane in range(_MD5_LANES)
     ]
     band_rows = ", ".join(
         "{{'band_id': {b}, 'band_val': md5({parts})}}".format(

@@ -309,14 +309,16 @@ def test_stratified_sample_is_reproducible_per_doc(spark, tmp_path):
 
 
 def test_minhash_signatures_match_oracle_seeds(spark, tmp_path):
-    """The minhash signature for hash h must be md5(f"{h}|" || shingle)
-    minimized over the doc's shingles — the exact seeds the DuckDB
-    oracle uses. Regression for a silent arity bug: `lambda s, h=h: ...`
-    inside F.transform is the two-parameter (element, index) form, so h
-    was bound to the index Column and the seed stringified to an
-    arbitrary plan-build-dependent "Column<'y_N'>|" — nondeterministic
-    across plan builds and never equal to the oracle's seeds. The LSH
-    still *looked* green because true near-dups collide under any seed."""
+    """The lane-split minhash signature sig[s*4+lane] must be hex chars
+    [8*lane, 8*lane+8) of md5(seed_s || shingle) minimized over the
+    doc's shingles — the exact construction the DuckDB oracle SQL
+    generates from the same MINHASH_SEEDS/_MD5_LANES constants.
+    Regression for a silent arity bug: `lambda s, h=h: ...` inside
+    F.transform is the two-parameter (element, index) form, so the seed
+    stringified to an arbitrary plan-build-dependent "Column<'y_N'>|" —
+    nondeterministic across plan builds and never equal to the oracle's
+    seeds. The LSH still *looked* green because true near-dups collide
+    under any seed."""
     import hashlib
 
     import pyarrow as pa
@@ -325,7 +327,9 @@ def test_minhash_signatures_match_oracle_seeds(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from ocr_spark.functions.dedup import (
-        MINHASH_H,
+        MINHASH_SEEDS,
+        _MD5_LANES,
+        _lane_col,
         _seeded_md5,
         _shingles_col,
     )
@@ -339,20 +343,28 @@ def test_minhash_signatures_match_oracle_seeds(spark, tmp_path):
         str(d / "documents.parquet"),
     )
     docs = spark.read.parquet(str(d / "documents.parquet"))
-    # same two-step projection shape as q_dedup_minhash
+    # same projection shape as q_dedup_minhash
     sh = docs.select("doc_id", _shingles_col().alias("shingles"))
+    hashed = sh.select(
+        "shingles",
+        *[
+            F.transform("shingles", _seeded_md5(seed)).alias(f"mh{s}")
+            for s, seed in enumerate(MINHASH_SEEDS)
+        ],
+    )
     sigs = [
-        F.array_min(
-            F.transform(F.col("shingles"), _seeded_md5(f"{h}|"))
-        ).alias(f"sig{h}")
-        for h in range(MINHASH_H)
+        _lane_col(f"mh{s}", lane).alias(f"sig{s * _MD5_LANES + lane}")
+        for s in range(len(MINHASH_SEEDS))
+        for lane in range(_MD5_LANES)
     ]
-    row = sh.select(F.col("shingles"), *sigs).collect()[0]
-    expected = {
-        h: min(
-            hashlib.md5(f"{h}|{s}".encode()).hexdigest() for s in row["shingles"]
-        )
-        for h in range(MINHASH_H)
-    }
-    for h in range(MINHASH_H):
-        assert row[f"sig{h}"] == expected[h], f"sig{h} has a wrong seed"
+    row = hashed.select(F.col("shingles"), *sigs).collect()[0]
+    for s, seed in enumerate(MINHASH_SEEDS):
+        for lane in range(_MD5_LANES):
+            expected = min(
+                hashlib.md5(f"{seed}{sh_}".encode()).hexdigest()[
+                    8 * lane : 8 * lane + 8
+                ]
+                for sh_ in row["shingles"]
+            )
+            i = s * _MD5_LANES + lane
+            assert row[f"sig{i}"] == expected, f"sig{i} has a wrong seed/lane"
