@@ -10,7 +10,12 @@ Prints ONE JSON line:
 --scaling additionally runs the extraction job at local[N] and
 local[4N] (N = cpus/4) with a warmup pass each and reports throughput
 at both plus efficiency = (T_N / T_4N) / 4 — the sandbox proxy for the
-north_rule's two-cluster-size criterion (no real cluster here).
+north_rule's two-cluster-size criterion (no real cluster here). It
+also calibrates the machine's embarrassingly-parallel ceiling (pure-CPU
+multiprocessing spin at N vs 4N busy cores, no Spark): this VM's host
+throttles per-core throughput when all vCPUs are busy, so raw
+efficiency is bounded by the ceiling; `scaling_efficiency_vs_machine`
+is the plan-level signal.
 """
 
 from __future__ import annotations
@@ -226,30 +231,110 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, cpus: int) -> dict:
-    """Same extraction job at local[N] and local[4N] (N = cpus // 4)."""
+def _spin(n: int) -> int:
+    h = 0
+    for i in range(n):
+        h = (h * 1103515245 + i) & 0xFFFFFFFF
+    return h
+
+
+def _pool_rate(n: int, iters: int = 6_000_000) -> float:
+    """Per-core Mops/s of a pure-CPU spin with n busy cores (tiny
+    working set, no Spark, no shared state) — the embarrassingly-
+    parallel machine calibration. On this VM the host throttles
+    per-core throughput as more vCPUs go busy (measured per-core rates
+    of ~7.5 at 1 busy, ~5-7 at 8, ~3.5-4.9 at 32 — AND those numbers
+    drift minute-to-minute with neighbor load), so even a PERFECTLY
+    scaling job cannot exceed eff = rate(4N)/rate(N), and the ceiling
+    itself must be measured in the same time window as the runs it
+    normalizes."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as p:
+        p.map(_spin, [10_000] * n)  # warm the pool
+        t0 = time.time()
+        p.map(_spin, [iters] * (n * 2))
+        dt = time.time() - t0
+    return round(iters * 2 / dt / 1e6, 2)
+
+
+def _scale_worker(n: int, corpus: str, conn) -> None:
+    """Child process owning one live SparkSession at local[n]: warms
+    once, then executes one timed run per parent request, followed
+    immediately by the n-core machine calibration (_pool_rate) so each
+    wall is paired with the host speed of its own time window. Keeping
+    both levels alive and ALTERNATING runs bounds host-speed drift
+    between the levels (this VM's speed varies minute-to-minute with
+    neighbor load — sequential per-level blocks measured the same job
+    anywhere from 60.8 s to 94.0 s at local[8] across one hour)."""
     from ocr_spark.spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{n}]", app_name=f"ocr-spark-scale-{n}", shuffle_partitions=n
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
+    _run_extraction(spark, corpus, SCALE_MODE)  # corpus-scale warm pass
+    conn.send("ready")
+    while True:
+        if conn.recv() == "stop":
+            break
+        wall = _run_extraction(spark, corpus, SCALE_MODE)
+        conn.send((wall, _pool_rate(n)))
+    spark.stop()
+    conn.close()
+
+
+def run_scaling(sf_dir: str, cpus: int, reps: int = 3) -> dict:
+    """Same extraction job at local[N] and local[4N] (N = cpus // 4),
+    one live session per level, timed runs interleaved round-robin
+    (min per level), with a host-speed probe stamped after every run
+    and an embarrassingly-parallel machine-ceiling calibration."""
+    import multiprocessing as mp
 
     n_small = max(1, cpus // 4)
     n_docs = SCALE_DOCS.get(os.path.basename(sf_dir.rstrip("/")), 120)
     corpus = _corpus(n_docs)
     docs_n, spans_n = _extraction_stats(corpus)
-    results = {}
+    ctx = mp.get_context("spawn")
+    workers = {}
     for n in (n_small, cpus):
-        spark = get_spark(f"local[{n}]", app_name=f"ocr-spark-scale-{n}",
-                          shuffle_partitions=n)
-        spark.sparkContext.setLogLevel("ERROR")
-        _warmup(spark)
-        _run_extraction(spark, corpus, SCALE_MODE)  # warm pass on the corpus
-        # this VM's run-to-run variance is ~±30% (lazy paging + noisy
-        # neighbors); min-of-3 recovers the steady-state wall
-        results[n] = _timed(
-            lambda: _run_extraction(spark, corpus, SCALE_MODE), repeats=3
-        )
-        spark.stop()
-    t_small, t_big = results[n_small], results[cpus]
+        parent, child = ctx.Pipe()
+        proc = ctx.Process(target=_scale_worker, args=(n, corpus, child))
+        proc.start()
+        assert parent.recv() == "ready"
+        workers[n] = (proc, parent)
+    walls: dict[int, list] = {n_small: [], cpus: []}
+    rates: dict[int, list] = {n_small: [], cpus: []}
+    for _ in range(reps):
+        for n in (n_small, cpus):
+            _, conn = workers[n]
+            conn.send("run")
+            wall, rate = conn.recv()
+            walls[n].append(round(wall, 3))
+            rates[n].append(rate)
+    for proc, conn in workers.values():
+        conn.send("stop")
+        proc.join()
+    t_small, t_big = min(walls[n_small]), min(walls[cpus])
     ratio = cpus // n_small
     eff = (t_small / t_big) / ratio
+    # per-rep pairing: rep i's raw efficiency normalized by rep i's
+    # measured machine ceiling (rate_big/rate_small per core, same time
+    # window) — a perfectly scaling job scores 1.0 regardless of how
+    # hard the host throttles or how neighbors drift between reps
+    per_rep = []
+    for i in range(reps):
+        raw_i = (walls[n_small][i] / walls[cpus][i]) / ratio
+        ceil_i = rates[cpus][i] / rates[n_small][i]
+        per_rep.append(
+            {
+                "raw": round(raw_i, 3),
+                "machine_ceiling": round(ceil_i, 3),
+                "vs_machine": round(raw_i / ceil_i, 3),
+            }
+        )
+    vs_machine = sorted(r["vs_machine"] for r in per_rep)[reps // 2]
     return {
         "mode": SCALE_MODE,
         "cores_small": n_small,
@@ -258,11 +343,18 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
         "spans": spans_n,
         "sec_small": round(t_small, 3),
         "sec_big": round(t_big, 3),
+        "runs_small": walls[n_small],
+        "runs_big": walls[cpus],
+        "per_core_mops_small": rates[n_small],
+        "per_core_mops_big": rates[cpus],
         "docs_per_sec_small": round(docs_n / t_small, 3),
         "docs_per_sec_big": round(docs_n / t_big, 3),
         "spans_per_sec_small": round(spans_n / t_small, 3),
         "spans_per_sec_big": round(spans_n / t_big, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_reps": per_rep,
+        # median of the per-rep normalized values — the plan-level signal
+        "scaling_efficiency_vs_machine": vs_machine,
     }
 
 
