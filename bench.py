@@ -250,7 +250,10 @@ def _pool_rate(n: int, iters: int = 6_000_000) -> float:
     normalizes."""
     import multiprocessing as mp
 
-    with mp.Pool(n) as p:
+    # spawn, not fork: the caller (_scale_worker) hosts a live
+    # SparkSession — forking a multithreaded JVM-attached process can
+    # deadlock the calibration children (ADVICE r3)
+    with mp.get_context("spawn").Pool(n) as p:
         p.map(_spin, [10_000] * n)  # warm the pool
         t0 = time.time()
         p.map(_spin, [iters] * (n * 2))

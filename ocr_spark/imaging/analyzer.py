@@ -77,6 +77,18 @@ def analyze_quality(
     same pixels (see AnalysisReuse)."""
     is_gray = img.ndim == 2
     if reuse is not None:
+        # a reuse computed from different pixels would silently diverge
+        # the analysis and break span-sequence equality — fail loudly on
+        # the cheap observable mismatches (ADVICE r3)
+        if (
+            reuse.gray.ndim != 2
+            or reuse.gray.shape != (img.shape[0], img.shape[1])
+            or reuse.gray.dtype != np.uint8
+        ):
+            raise ValueError(
+                f"AnalysisReuse gray {reuse.gray.shape}/{reuse.gray.dtype} "
+                f"does not match image {img.shape[:2]}"
+            )
         gray = reuse.gray
         noise_level = reuse.noise_level
     else:

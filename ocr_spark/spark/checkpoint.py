@@ -188,15 +188,27 @@ def run_extraction_job(
                 stacklevel=2,
             )
     media_has_bucket = "bucket" in media_df.columns
-    if media_has_bucket and filter_method != "bucket-column":
-        import warnings
+    # mixed inputs (media bucketed, docs on the md5-hash fallback): the
+    # two methods assign the same runtime bucket iff n | LAYOUT_BUCKETS
+    # (pmod(md5 % L, n) == md5 % n). When they agree, media pruning is
+    # provably safe and stays ON; when they cannot agree, pruning the
+    # media scan would silently turn its spans into counted skips — that
+    # geometry fails fast instead of degrading (ADVICE r2 / VERDICT r3 #8).
+    media_prunable = media_has_bucket and filter_method == "bucket-column"
+    if media_has_bucket and filter_method == "hash":
+        from ocr_spark.spark.corpus import LAYOUT_BUCKETS
 
-        warnings.warn(
-            "docs input lacks the `bucket` layout column: media pruning "
-            "disabled (every bucket run scans the full media table). "
-            "Ingest docs with the layout column to restore pruned resume.",
-            stacklevel=2,
-        )
+        if LAYOUT_BUCKETS % n_buckets != 0:
+            raise ValueError(
+                f"mixed bucketing geometry: media carries the `bucket` "
+                f"layout column (LAYOUT_BUCKETS={LAYOUT_BUCKETS}) but docs "
+                f"fall back to the md5 hash and n_buckets={n_buckets} does "
+                f"not divide {LAYOUT_BUCKETS} — the two assignments "
+                "disagree, so a pruned run would silently skip media "
+                "spans. Ingest docs with the layout column or pick "
+                f"n_buckets dividing {LAYOUT_BUCKETS}."
+            )
+        media_prunable = True
     processed = []
     skipped = sorted(done)
     t_start = time.time()
@@ -209,14 +221,11 @@ def run_extraction_job(
         attempts = {b: _attempt_number(out_dir, b) for b in group}
         # media prunes on the owner-doc bucket it was ingested with —
         # without this the (PNG-heavy) media table re-scans per bucket.
-        # ONLY when docs filter by the same layout column (ADVICE r2):
-        # docs on the md5-hash fallback assign doc -> md5 % n, while
-        # media's layout column gives pmod(md5 % L, n) — these disagree
-        # unless n | L, silently turning media spans into counted skips.
-        # Mixed inputs therefore run with an unpruned media scan.
+        # media_prunable (above) holds exactly when the docs-side filter
+        # provably assigns the same runtime bucket.
         media_g = (
             media_df.filter(group_filter(media_df, n_buckets, group))
-            if media_has_bucket and filter_method == "bucket-column"
+            if media_prunable
             else media_df
         )
         result = run_pipeline(

@@ -199,7 +199,9 @@ def test_jaccard_pair_generation_never_reads_text(spark):
     schemas = re.findall(r"ReadSchema: struct<[^\n]*", plan)
     text_scans = [s for s in schemas if "text" in s]
     keyed_scans = [s for s in schemas if "text" not in s]
-    # formatted plans list each scan once in the detail section
-    assert len(text_scans) <= 4, plan
+    # formatted plans list each scan once in the detail section; the
+    # lower bound proves the scoring + band branches are present (a
+    # broken query with no scored pairs must not pass) — ADVICE r3
+    assert 2 <= len(text_scans) <= 4, plan
     # pair generation exists and is text-free
     assert keyed_scans, plan

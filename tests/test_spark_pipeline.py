@@ -235,23 +235,27 @@ def test_resume_rejects_bucket_count_change(spark, corpus_dir, tmp_path):
 def test_mixed_inputs_hash_docs_bucketed_media(
     spark, corpus_dir, oracle_extracted, tmp_path
 ):
-    """ADVICE r2 (medium): docs WITHOUT the bucket layout column (hash
-    fallback) + media WITH it, at an n_buckets that does not divide
-    LAYOUT_BUCKETS=8. The buggy build filtered media by
-    pmod(bucket, n) != md5 % n, silently skipping most media spans; the
-    fix runs such buckets with an unpruned media scan — output must
-    equal the oracle exactly."""
+    """ADVICE r2 / VERDICT r3 #8: docs WITHOUT the bucket layout column
+    (hash fallback) + media WITH it. When n_buckets does not divide
+    LAYOUT_BUCKETS=8 the two assignments disagree — a pruned media scan
+    would silently skip spans — so the job must FAIL FAST. When it does
+    divide, pmod(md5 % L, n) == md5 % n, so the pruned run is provably
+    safe and the output must equal the oracle exactly."""
     from ocr_spark.spark.checkpoint import read_extracted, run_extraction_job
 
     docs, media = read_corpus(spark, corpus_dir)
     assert "bucket" in media.columns
     docs_nb = docs.select("doc_id", "spans")  # strip the layout column
-    out_dir = str(tmp_path / "extracted")
-    with pytest.warns(UserWarning, match="media pruning"):
-        report = run_extraction_job(
-            spark, docs_nb, media, out_dir, run_id="mix", n_buckets=3,
-            span_partitions=8,
+    with pytest.raises(ValueError, match="mixed bucketing geometry"):
+        run_extraction_job(
+            spark, docs_nb, media, str(tmp_path / "bad"), run_id="mix3",
+            n_buckets=3, span_partitions=8,
         )
+    out_dir = str(tmp_path / "extracted")
+    report = run_extraction_job(
+        spark, docs_nb, media, out_dir, run_id="mix4", n_buckets=4,
+        span_partitions=8,
+    )
     assert report["complete"]
     rows = {r["doc_id"]: r for r in read_extracted(spark, out_dir).collect()}
     assert_equals_oracle(rows, oracle_extracted)
