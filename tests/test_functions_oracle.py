@@ -200,6 +200,40 @@ def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     assert r_trained > r_first_k, (r_trained, r_first_k)
 
 
+def test_trained_ivf_fit_read_is_bounded():
+    """VERDICT r3 #1: the quantizer fit must never materialize more than
+    sample + one record batch of the embeddings table on the driver —
+    and the streaming selection must equal the full-read stable-sort
+    selection exactly (same sample => same centroids => same inlined
+    oracle literals)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions import similarity as S
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = np.asarray(tbl.column("vec_id").to_pylist())
+    n, batch = 100, 97  # force several batches with a ragged tail
+    order = np.argsort(vid, kind="stable")[:n]
+    want_vid = vid[order]
+    want_emb = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)[
+        order
+    ]
+
+    got_vid, got_emb, peak = S._bounded_lowest_sample(path, n, batch_rows=batch)
+    assert peak <= n + batch, peak
+    assert peak < tbl.num_rows  # the bound actually bit on this table
+    np.testing.assert_array_equal(got_vid, want_vid)
+    np.testing.assert_array_equal(got_emb, want_emb)
+
+    # the production fit path holds at most IVF_TRAIN_SAMPLE + one batch
+    _, _, peak_prod = S._bounded_lowest_sample(path, S.IVF_TRAIN_SAMPLE)
+    assert peak_prod <= S.IVF_TRAIN_SAMPLE + S.TRAIN_BATCH_ROWS, peak_prod
+
+
 def test_jaccard_finds_boundary_straddling_pair(spark, tmp_path):
     """Two near-identical docs whose lengths straddle a LEN_BUCKET
     boundary must be candidates (adjacent-bucket probing), and the query
