@@ -160,6 +160,28 @@ def test_hybrid_pruned_media_scans(spark, corpus_dir):
     assert ref_only, plan  # the anti-join scan exists and reads no png
 
 
+def test_embedding_dedup_buckets_scan_once(spark):
+    """VERDICT r3 #4: q_dedup_embedding's capped bucket frame is
+    materialized before the self-join, so the embeddings scan + the
+    hyperplane hashing + the capping window run ONCE — the final plan's
+    only embeddings parquet scans are the two per-pair confirm fetches
+    (ea/eb key joins), and the candidate subtree reads the materialized
+    ids-only frame."""
+    from ocr_spark.functions.dedup import q_dedup_embedding
+
+    import re
+
+    plan = _plan(q_dedup_embedding(spark, "/root/testdata/sf0.001"))
+    # every parquet scan in this query is an embeddings scan; each is
+    # listed once in the detail section via its ReadSchema
+    emb_scans = re.findall(r"ReadSchema: struct<[^\n]*", plan)
+    assert len(emb_scans) == 2, plan
+    for s in emb_scans:
+        assert "embedding" in s, s
+    # the bucket subtree survives as a scan of the checkpointed RDD
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_vocab_topk_is_distributed(spark):
     """vocab_top_terms must compile the top-K to TakeOrderedAndProject
     (per-partition top-K + K-row merge) — never a global Sort of the
