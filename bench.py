@@ -98,23 +98,43 @@ def _timed(fn, repeats: int = 2) -> float:
 
 
 def _ann_recall(spark, sf_dir: str) -> dict:
-    """recall@IVF_TOPK of each ANN variant vs the brute-force top-k.
-    The collects are (n_queries * k) id pairs — bounded and tiny."""
+    """recall@IVF_TOPK of each ANN variant vs the brute-force top-k,
+    plus the trained-IVF recall-cost CURVE over (IVF_K, nprobe) — the
+    evidence behind the chosen defaults (VERDICT r3 #5). The collects
+    are (n_queries * k) id pairs — bounded and tiny."""
     from pyspark.sql import functions as F
 
-    from ocr_spark.functions.similarity import IVF_TOPK, QUERIES
+    from ocr_spark.functions import similarity as S
 
-    def pairs(name):
-        df = QUERIES[name].fn(spark, sf_dir).filter(F.col("rnk") <= IVF_TOPK)
+    def pairs_of(df):
+        df = df.filter(F.col("rnk") <= S.IVF_TOPK)
         return {
             (r["query_id"], r["neighbor_id"])
             for r in df.select("query_id", "neighbor_id").collect()
         }
 
+    def pairs(name):
+        return pairs_of(S.QUERIES[name].fn(spark, sf_dir))
+
     truth = pairs("embedding_cosine_topk")
-    out = {"k": IVF_TOPK}
+    out = {"k": S.IVF_TOPK, "defaults": {"ivf_k": S.IVF_K, "nprobe": S.IVF_NPROBE}}
     for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained"):
         out[name] = round(len(pairs(name) & truth) / len(truth), 3)
+    curve = []
+    for ck in (16, 32, 64):
+        cents = S.train_centroids(sf_dir, ck)
+        for nprobe in (2, 4, 8):
+            t0 = time.time()
+            p = pairs_of(S._ivf_search(spark, sf_dir, cents, "double", nprobe))
+            curve.append(
+                {
+                    "ivf_k": ck,
+                    "nprobe": nprobe,
+                    "recall": round(len(p & truth) / len(truth), 3),
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+    out["ivf_curve"] = curve
     return out
 
 

@@ -260,8 +260,16 @@ SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {LSH_TOPK}
 # IVF-style ANN: deterministic coarse quantizer + inverted lists + nprobe
 # --------------------------------------------------------------------------
 
-IVF_K = 16  # coarse centroids: the first K vectors (deterministic, data-derived)
-IVF_NPROBE = 2
+# Defaults chosen from the measured recall-cost curve at sf0.01
+# (bench.py reports it each round; VERDICT r3 #5): trained recall@5 by
+# (K, nprobe) — 16/8: 0.86 probing 1/2 of lists; 32/8: 0.76 probing
+# 1/4; 64/8: 0.62; 64/16: 0.74 probing 1/4 but with 2x the assignment
+# dots. 32/8 clears the >=0.7 bar while scanning the smallest corpus
+# fraction — note the fixture embeddings are i.i.d. random (the
+# adversarial case for any ANN index); clustered real embeddings give
+# higher recall at the same probe fraction.
+IVF_K = 32  # coarse centroid count
+IVF_NPROBE = 8
 IVF_TOPK = 5
 
 
@@ -359,6 +367,7 @@ def _ivf_search(
     sf_dir: str,
     centroids: list[tuple[int, list[float]]],
     cent_type: str,
+    nprobe: int = None,
 ) -> DataFrame:
     """Shared IVF search body: map-side inverted-list assignment over
     literal centroids (ivf_lists — Exchange-free, plan-test asserted),
@@ -366,9 +375,13 @@ def _ivf_search(
     centroid table, exact rerank of only the probed candidates.
     `cent_type` is the element type of the broadcast centroid arrays:
     "float" for centroids read back from the float32 embedding column,
-    "double" for trained centroids (rounded doubles don't fit float32)."""
+    "double" for trained centroids (rounded doubles don't fit float32).
+    `nprobe` defaults to IVF_NPROBE; bench.py sweeps it for the
+    recall-cost curve."""
     from pyspark.sql.window import Window
 
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     emb = load(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         spark.createDataFrame(
@@ -400,7 +413,7 @@ def _ivf_search(
         q.select(F.col("query_id"), F.col("qe").alias("embedding")),
         "query_id",
         "embedding",
-        IVF_NPROBE,
+        nprobe,
     )
     cand = (
         probes.join(lists, "cid")
@@ -504,7 +517,7 @@ SQL_ANN_IVF = _ann_ivf_sql(
 IVF_TRAIN_SAMPLE = 4096  # driver-side fit on at most this many vectors
 IVF_TRAIN_ITERS = 10
 
-_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
 
 
 TRAIN_BATCH_ROWS = 4096  # streaming read granularity of the fit sample
@@ -548,7 +561,7 @@ def _bounded_lowest_sample(
     return kept_vid, kept_emb, peak
 
 
-def train_centroids(sf_dir: str) -> list[tuple[int, list[float]]]:
+def train_centroids(sf_dir: str, k: int = None) -> list[tuple[int, list[float]]]:
     """Deterministic spherical k-means (Lloyd's with cosine assignment)
     over a bounded, order-fixed sample of the embeddings table.
 
@@ -565,7 +578,9 @@ def train_centroids(sf_dir: str) -> list[tuple[int, list[float]]]:
     sample rows, fixed iteration count, float64 throughout, centroids
     rounded to 6 dp so the literals inlined into the Spark plan and the
     DuckDB VALUES list are the same doubles."""
-    cached = _CENTROID_CACHE.get(sf_dir)
+    if k is None:
+        k = IVF_K
+    cached = _CENTROID_CACHE.get((sf_dir, k))
     if cached is not None:
         return cached
     import os
@@ -577,22 +592,22 @@ def train_centroids(sf_dir: str) -> list[tuple[int, list[float]]]:
     )
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     unit = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
-    init_idx = np.round(np.linspace(0, len(unit) - 1, IVF_K)).astype(int)
+    init_idx = np.round(np.linspace(0, len(unit) - 1, k)).astype(int)
     cent = unit[init_idx].copy()
     for _ in range(IVF_TRAIN_ITERS):
         assign = (unit @ cent.T).argmax(axis=1)  # ties -> lowest cid
-        for k in range(IVF_K):
-            members = unit[assign == k]
+        for ci in range(k):
+            members = unit[assign == ci]
             if len(members):
                 v = members.mean(axis=0)
                 n = float(np.linalg.norm(v))
                 if n > 0:
-                    cent[k] = v / n
+                    cent[ci] = v / n
             # empty cluster: keep the previous centroid (deterministic)
     out = [
-        (k, [float(round(float(v), 6)) for v in cent[k]]) for k in range(IVF_K)
+        (ci, [float(round(float(v), 6)) for v in cent[ci]]) for ci in range(k)
     ]
-    _CENTROID_CACHE[sf_dir] = out
+    _CENTROID_CACHE[(sf_dir, k)] = out
     return out
 
 

@@ -174,21 +174,43 @@ def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     """VERDICT r2 #6: the spherical-k-means quantizer must be (a)
     deterministic — the same centroid literals are inlined into the
     Spark plan and the DuckDB oracle, so a retrain must reproduce them
-    bit-for-bit — and (b) better than the first-K quantizer: recall@k
-    vs the brute-force truth strictly improves on this corpus."""
+    bit-for-bit — (b) better-balanced than the first-K quantizer
+    (lower max list size AND stddev: balance is the trained quantizer's
+    scale guarantee — the heaviest inverted list bounds probe-stage
+    skew), and (c) higher-recall at sf0.01 (at the 500-vector sf0.001
+    the recall comparison is noise; bench.py reports the full curve)."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from ocr_spark.functions import similarity as S
 
-    S._CENTROID_CACHE.pop(SF_DIR, None)
+    S._CENTROID_CACHE.pop((SF_DIR, S.IVF_K), None)
     c1 = S.train_centroids(SF_DIR)
-    S._CENTROID_CACHE.pop(SF_DIR, None)
+    S._CENTROID_CACHE.pop((SF_DIR, S.IVF_K), None)
     c2 = S.train_centroids(SF_DIR)
     assert c1 == c2
     assert len(c1) == S.IVF_K and len(c1[0][1]) == S.DIM
 
+    emb = S.load(spark, SF_DIR, "embeddings")
+    first_k = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < S.IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def list_sizes(cents):
+        rows = S.ivf_lists(emb, cents).groupBy("cid").count().collect()
+        return np.array([r["count"] for r in rows])
+
+    s_first, s_trained = list_sizes(first_k), list_sizes(c1)
+    assert s_trained.max() <= s_first.max(), (s_trained.max(), s_first.max())
+    assert s_trained.std() < s_first.std(), (s_trained.std(), s_first.std())
+
+    sf01 = "/root/testdata/sf0.01"
+
     def pairs(name):
-        df = S.QUERIES[name].fn(spark, SF_DIR).filter(F.col("rnk") <= S.IVF_TOPK)
+        df = S.QUERIES[name].fn(spark, sf01).filter(F.col("rnk") <= S.IVF_TOPK)
         return {
             (r["query_id"], r["neighbor_id"])
             for r in df.select("query_id", "neighbor_id").collect()
@@ -198,6 +220,7 @@ def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     r_first_k = len(pairs("embedding_ann_ivf") & truth) / len(truth)
     r_trained = len(pairs("embedding_ann_ivf_trained") & truth) / len(truth)
     assert r_trained > r_first_k, (r_trained, r_first_k)
+    assert r_trained >= 0.7, r_trained  # the default (K, nprobe) bar
 
 
 def test_trained_ivf_fit_read_is_bounded():
