@@ -573,13 +573,90 @@ def binarize_adaptive_gaussian(gray: np.ndarray, c: float = 11.0) -> np.ndarray:
     return _binarize_adaptive_gaussian_np(gray, c)
 
 
+NLM_TEMPLATE = 7  # the reference's templateWindowSize (noise_removal.py:33-53)
+NLM_SEARCH = 21  # searchWindowSize
+# OpenCV bins template distances by the nearest power of two to
+# templateWindowSize^2 (49 -> 64, shift 6) before the weight LUT lookup
+_NLM_BIN_SHIFT = 6
+# weights are fixed-point ints scaled so the worst-case estimation sum
+# (search_area * 255 * max_weight) stays inside int32 (OpenCV
+# fast_nlmeans_denoising_invoker.hpp constructor)
+_NLM_FIXED_POINT_MULT = (2**31 - 1) // (NLM_SEARCH * NLM_SEARCH * 255)
+_NLM_WEIGHT_THRESHOLD = 0.001  # weights below 0.1% of max are zeroed
+
+
+def _nlm_weight_lut(h: float) -> np.ndarray:
+    """Binned-distance -> fixed-point-weight LUT, mirroring OpenCV's
+    almost_dist2weight table for NORM_L2 on uint8: bucket index is
+    dist_sum >> 6, actual mean-square distance = index * (64/49),
+    weight = round(mult * exp(-dist / h^2)), small weights zeroed."""
+    mult = float(1 << _NLM_BIN_SHIFT) / (NLM_TEMPLATE * NLM_TEMPLATE)
+    n = int(255 * 255 / mult + 1) + 1
+    dist = np.arange(n, dtype=np.float64) * mult
+    w = np.rint(_NLM_FIXED_POINT_MULT * np.exp(-dist / (h * h))).astype(np.int64)
+    w[w < _NLM_WEIGHT_THRESHOLD * _NLM_FIXED_POINT_MULT] = 0
+    return w
+
+
+def _nlmeans_np(gray: np.ndarray, h: float, strip_rows: int = 256) -> np.ndarray:
+    """Pure-numpy twin of cv2.fastNlMeansDenoising (grayscale, NORM_L2,
+    template 7, search 21), following the public OpenCV algorithm
+    (photo module, fast_nlmeans_denoising_invoker.hpp): reflect-101
+    border of search/2 + template/2, per-offset template SSD via
+    integral images, distances binned by >> 6 into a fixed-point weight
+    LUT, integer accumulation with round-half-up division. Runs in row
+    strips so temporaries stay under the sandbox's 32 MB re-fault
+    threshold (one (strip+6, W+6) int64 integral per offset)."""
+    H, W = gray.shape
+    th, sh = NLM_TEMPLATE // 2, NLM_SEARCH // 2  # 3, 10
+    border = th + sh  # 13
+    P = np.pad(gray, border, mode="reflect").astype(np.int32)
+    lut = _nlm_weight_lut(float(h))
+    out = np.empty((H, W), dtype=np.uint8)
+    t = NLM_TEMPLATE
+    for r0 in range(0, H, strip_rows):
+        r1 = min(H, r0 + strip_rows)
+        hh = r1 - r0
+        est = np.zeros((hh, W), dtype=np.int64)
+        wsum = np.zeros((hh, W), dtype=np.int64)
+        base = P[r0 + sh : r0 + sh + hh + t - 1, sh : sh + W + t - 1]
+        for dy in range(-sh, sh + 1):
+            for dx in range(-sh, sh + 1):
+                shifted = P[
+                    r0 + sh + dy : r0 + sh + dy + hh + t - 1,
+                    sh + dx : sh + dx + W + t - 1,
+                ]
+                d = base - shifted
+                d *= d
+                integ = np.zeros((hh + t, W + t), dtype=np.int64)
+                np.cumsum(d, axis=0, out=integ[1:, 1:])
+                np.cumsum(integ[1:, 1:], axis=1, out=integ[1:, 1:])
+                dist = (
+                    integ[t:, t:]
+                    - integ[:-t, t:]
+                    - integ[t:, :-t]
+                    + integ[:-t, :-t]
+                )
+                w = lut[dist >> _NLM_BIN_SHIFT]
+                center = P[
+                    r0 + border + dy : r0 + border + dy + hh,
+                    border + dx : border + dx + W,
+                ]
+                est += w * center
+                wsum += w
+        out[r0:r1] = ((est + (wsum >> 1)) // wsum).astype(np.uint8)
+    return out
+
+
 def nlmeans_denoise(img: np.ndarray, h: float = 10.0) -> np.ndarray:
     """cv2.fastNlMeansDenoising(h, template 7, search 21)
-    (noise_removal.py:33-53) when cv2 is installed. There is no
-    practical pure-numpy NL-means at page sizes (441 search offsets x
-    49-pixel patches per pixel), so without cv2 this honestly falls back
-    to the 3x3 median stand-in — the documented fidelity gap, now scoped
-    to exactly one kernel."""
+    (noise_removal.py:33-53) — real cv2 when installed; otherwise the
+    strip-wise numpy twin (_nlmeans_np) reproduces the OpenCV grayscale
+    algorithm (same LUT binning, fixed-point weights, integer rounding).
+    Color images without cv2 fall back to the 3x3 median stand-in —
+    the colored cv2 variant denoises in Lab space and is out of the
+    twin's scope (the pipeline denoises after the grayscale step, so
+    this path only exists under preserve_color profiles)."""
     cv2 = _cv2()
     if cv2 is not None:
         if img.ndim == 2:
@@ -589,6 +666,8 @@ def nlmeans_denoise(img: np.ndarray, h: float = 10.0) -> np.ndarray:
         return cv2.fastNlMeansDenoisingColored(
             img, None, h=h, hColor=h, templateWindowSize=7, searchWindowSize=21
         )
+    if img.ndim == 2:
+        return _nlmeans_np(img, h)
     return median3(img)
 
 

@@ -181,18 +181,75 @@ def test_adaptive_gaussian_semantics():
 
 def test_fidelity_dispatchers_without_cv2():
     """Without cv2 the dispatchers must route to the numpy equivalents
-    (and nlmeans to the documented median3 fallback)."""
+    (grayscale nlmeans to the numpy twin; color nlmeans to the
+    documented median3 fallback)."""
     img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    rgb = np.stack([img] * 3, axis=-1)
     if K._cv2() is None:
         assert np.array_equal(
             K.resize_bicubic(img, 23, 17), K._resize_bicubic_np(img, 23, 17)
         )
-        assert np.array_equal(K.nlmeans_denoise(img), K.median3(img))
+        assert np.array_equal(K.nlmeans_denoise(img), K._nlmeans_np(img, 10.0))
+        assert np.array_equal(K.nlmeans_denoise(rgb), K.median3(rgb))
     else:
         got = K.resize_bicubic(img, 23, 17).astype(np.int16)
         want = K._resize_bicubic_np(img, 23, 17).astype(np.int16)
         # float vs cv2 fixed-point: at most off-by-one per pixel
         assert np.abs(got - want).max() <= 1
+
+
+def test_nlmeans_np_flat_image_is_identity():
+    """All template distances are 0 on a constant image -> every search
+    weight equals the max -> the weighted mean is the pixel itself."""
+    for v in (0, 128, 255):
+        img = np.full((40, 50), v, dtype=np.uint8)
+        assert np.array_equal(K._nlmeans_np(img, 10.0), img)
+
+
+def test_nlmeans_np_strip_invariance():
+    """The strip decomposition is an implementation detail: any strip
+    height must produce byte-identical output."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(70, 45), dtype=np.uint8)
+    full = K._nlmeans_np(img, 10.0, strip_rows=1024)
+    for rows in (7, 16, 33):
+        assert np.array_equal(K._nlmeans_np(img, 10.0, strip_rows=rows), full)
+
+
+def test_nlmeans_np_denoises_small_amplitude_noise():
+    """NL-means' regime: small-amplitude noise on flat areas averages
+    away (patch distances ~2*sigma^2 keep many weights alive at h=10)
+    while structure (a solid block edge) survives. Large impulses are
+    deliberately NOT tested — with mean-square patch distance >> h^2
+    their weights underflow the 0.1% threshold and NL-means passes them
+    through, exactly like cv2 (salt-and-pepper is median3's job)."""
+    rng = np.random.default_rng(5)
+    img = np.full((80, 80), 180, dtype=np.uint8)
+    img[30:50, 20:60] = 60  # a solid dark block (structure)
+    noise = rng.integers(-10, 11, size=img.shape)
+    noisy = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+    out = K._nlmeans_np(noisy, 10.0)
+    err_before = np.abs(noisy.astype(int) - img).mean()
+    err_after = np.abs(out.astype(int) - img).mean()
+    assert err_after < err_before / 2, (err_before, err_after)
+    # block interior and background survive near their true values
+    assert abs(int(out[40, 40]) - 60) <= 6
+    assert abs(int(out[10, 10]) - 180) <= 6
+
+
+def test_nlmeans_np_matches_cv2_when_present():
+    """Fidelity check against the real cv2 when installed (skips in this
+    container): same LUT binning and fixed-point weights, so the twin
+    should track cv2 within a pixel-value or two."""
+    import pytest
+
+    if K._cv2() is None:
+        pytest.skip("cv2 not installed")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+    got = K._nlmeans_np(img, 10.0).astype(np.int16)
+    want = K.nlmeans_denoise(img, 10.0).astype(np.int16)
+    assert np.abs(got - want).max() <= 2, np.abs(got - want).max()
 
 
 def test_preprocess_cv2_fidelity_mode_runs():
