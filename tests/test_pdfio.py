@@ -110,6 +110,58 @@ def test_header_walker_rejects_unwalkable_stream():
         _walk_pdf_metadata(b"%PDF-1.7\n<< compressed gibberish >>\n%%EOF")
 
 
+def test_real_pdf_image_render_without_fitz():
+    """VERDICT r3 #7: the real-PDF RENDER path must execute in this
+    sandbox — encode_image_pdf writes a genuine uncompressed %PDF-
+    stream (image XObject per page, valid xref) and _walk_pdf_render
+    rasterizes it at zoom = dpi/72 with exact pixel recovery at the
+    base DPI. Runs identically with or without fitz (the writer emits
+    a standards-valid file)."""
+    from ocr_spark.pdfio import encode_image_pdf
+
+    srcs = [render_page([f"scan {i} ok"], 220, 120, margin=10) for i in range(2)]
+    data = encode_image_pdf(srcs, {"title": "scanned (batch)"})
+    assert is_pdf(data) and data[:5] == b"%PDF-"
+    meta = pdf_metadata(data)
+    assert meta["page_count"] == 2 and meta["title"] == "scanned (batch)"
+    pages = render_pages(data, dpi=72)
+    assert len(pages) == 2
+    for got, src in zip(pages, srcs):
+        assert got.shape == src.shape
+        assert np.array_equal(got, src)  # 1 px = 1 pt at the base DPI
+    hi = render_pages(data, dpi=144)
+    assert hi[0].shape == (240, 440)  # zoom = 2x
+    for i, p in enumerate(pages):
+        text, conf = extract_text(p)
+        assert text == f"scan {i} ok" and conf == 1.0
+
+
+def test_real_pdf_extracts_end_to_end_without_fitz():
+    """A real %PDF- payload with image pages flows through
+    process_pdf_bytes as an extraction, not a skip; page markers fan in
+    per the reference (tasks.py:182-213)."""
+    from ocr_spark.config import get_profile
+    from ocr_spark.core import process_pdf_bytes
+    from ocr_spark.pdfio import encode_image_pdf
+
+    srcs = [render_page([f"page {i}"], 400, 240, margin=12) for i in range(2)]
+    res = process_pdf_bytes(encode_image_pdf(srcs), get_profile("got"))
+    assert not res.skipped
+    assert res.n_chunks == 2
+    assert "page 0" in res.text and "page 1" in res.text
+
+
+def test_walker_render_rejects_filtered_streams():
+    """Compressed image XObjects stay fitz-only: the walker raises (->
+    counted skip) instead of mis-rendering."""
+    from ocr_spark.pdfio import _walk_pdf_render, encode_image_pdf
+
+    data = encode_image_pdf([np.full((8, 8), 128, dtype=np.uint8)])
+    bad = data.replace(b"/ColorSpace /DeviceGray", b"/Filter /FlateDecode /ColorSpace /DeviceGray")
+    with pytest.raises(ValueError):
+        _walk_pdf_render(bad, 72)
+
+
 def test_real_pdf_roundtrip_under_fitz():
     import pytest as _pytest
 
