@@ -281,6 +281,36 @@ def _pool_rate(n: int, iters: int = 6_000_000) -> float:
     return round(iters * 2 / dt / 1e6, 2)
 
 
+def _tree_cpu_seconds() -> float:
+    """utime+stime of this process and every LIVE descendant (the py4j
+    JVM, pyspark.daemon, its forked python workers) via /proc — the
+    cores-busy numerator for the scaling artifact's utilization figure.
+    Workers that die and are reaped between the two samples lose their
+    time (bias toward UNDER-counting utilization, never over)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(parts[1]), int(parts[11]), int(parts[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0.0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += (procs[p][1] + procs[p][2]) / clk
+            stack.extend(kids.get(p, []))
+    return total
+
+
 def _scale_worker(n: int, corpus: str, conn) -> None:
     """Child process owning one live SparkSession at local[n]: warms
     once, then per parent request executes the n-core machine
@@ -305,9 +335,11 @@ def _scale_worker(n: int, corpus: str, conn) -> None:
         if conn.recv() == "stop":
             break
         rate_before = _pool_rate(n)
+        cpu0 = _tree_cpu_seconds()
         wall = _run_extraction(spark, corpus, SCALE_MODE)
+        util = (_tree_cpu_seconds() - cpu0) / (wall * n)
         rate_after = _pool_rate(n)
-        conn.send((wall, rate_before, rate_after))
+        conn.send((wall, rate_before, rate_after, util))
     spark.stop()
     conn.close()
 
@@ -334,13 +366,15 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
         workers[n] = (proc, parent)
     walls: dict[int, list] = {n_small: [], cpus: []}
     rates: dict[int, list] = {n_small: [], cpus: []}  # (before, after) pairs
+    utils: dict[int, list] = {n_small: [], cpus: []}
     for _ in range(reps):
         for n in (n_small, cpus):
             _, conn = workers[n]
             conn.send("run")
-            wall, rb, ra = conn.recv()
+            wall, rb, ra, util = conn.recv()
             walls[n].append(round(wall, 3))
             rates[n].append((rb, ra))
+            utils[n].append(round(util, 3))
     for proc, conn in workers.values():
         conn.send("stop")
         proc.join()
@@ -371,6 +405,8 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
                 "machine_ceiling": round(ceil_i, 3),
                 "vs_machine": round(raw_i / ceil_i, 3),
                 "calib_drift": round(drift_i, 3),
+                "cpu_util_small": utils[n_small][i],
+                "cpu_util_big": utils[cpus][i],
             }
         )
     vs_sorted = sorted(r["vs_machine"] for r in per_rep)
@@ -400,6 +436,11 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
         # median of the per-rep normalized values — the plan-level signal
         "scaling_efficiency_vs_machine": vs_machine,
         "quiet_rep": quiet,
+        # whole-process-tree CPU-seconds / (wall * cores) per level: a
+        # utilization near 1 at the BIG level is direct evidence the
+        # plan keeps 4N cores busy — independent of host throttling
+        "cpu_util_small": utils[n_small],
+        "cpu_util_big": utils[cpus],
     }
 
 

