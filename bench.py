@@ -34,7 +34,7 @@ BENCH_DOCS = {"sf0.001": 60, "sf0.01": 120, "sf0.1": 240}
 # path bound at this corpus size and measures the cleanest efficiency;
 # hybrid/staged remain the answer for giant-single-span docs (500-page
 # pdfs) and measure >=0.9 as well (BENCH/BASELINE.md).
-SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 2400}
+SCALE_DOCS = {"sf0.001": 120, "sf0.01": 240, "sf0.1": 4800}
 SCALE_MODE = "fused"
 WARMUP_DOCS = 16
 
@@ -251,34 +251,75 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def _spin(n: int) -> int:
-    h = 0
-    for i in range(n):
-        h = (h * 1103515245 + i) & 0xFFFFFFFF
-    return h
+_CAL_CORPUS = None
 
 
-def _pool_rate(n: int, iters: int = 6_000_000) -> float:
-    """Per-core Mops/s of a pure-CPU spin with n busy cores (tiny
-    working set, no Spark, no shared state) — the embarrassingly-
-    parallel machine calibration. On this VM the host throttles
-    per-core throughput as more vCPUs go busy (measured per-core rates
-    of ~7.5 at 1 busy, ~5-7 at 8, ~3.5-4.9 at 32 — AND those numbers
-    drift minute-to-minute with neighbor load), so even a PERFECTLY
-    scaling job cannot exceed eff = rate(4N)/rate(N), and the ceiling
-    itself must be measured in the same time window as the runs it
-    normalizes."""
+def _cal_task(n_docs: int) -> int:
+    """One calibration task: the extraction pipeline's OWN work —
+    ocr_spark.core.process_document over a small deterministic fixture
+    corpus (built once per pool worker, cached). The calibration
+    workload must match the job's compute/memory profile: in this
+    sandbox a register-only integer spin throttles to ~0.70x per-core
+    at 32 busy cores, a small-working-set numpy kernel mix holds
+    0.88-1.0x, and the real extraction mix (PNG codec + strip kernels
+    + glyph extract, multi-MB temps) drops to ~0.6-0.8x — so
+    normalizing the Spark job by anything lighter than its own work
+    OVERSTATES the machine and understates the job (r4 finding; see
+    BENCH/BASELINE.md). Because this calibration is embarrassingly
+    parallel (zero coordination), job-vs-calibration isolates exactly
+    what the north_rule's cluster criterion measures: scheduling,
+    shuffle, and straggler overhead."""
+    global _CAL_CORPUS
+    from ocr_spark.core import process_document
+    from ocr_spark.fixtures import build_corpus
+
+    if _CAL_CORPUS is None:
+        docs, media = build_corpus(n_docs=24, seed=42, skew_monster_spans=0)
+        _CAL_CORPUS = (docs, {m["media_ref"]: m["png"] for m in media})
+    docs, lookup = _CAL_CORPUS
+    c = 0
+    for d in docs[:n_docs]:
+        out, _ = process_document(d["doc_id"], d["spans"], lookup.get, "got")
+        c += len(out)
+    return c
+
+
+def _cal_pool(n: int):
+    """Persistent spawn pool of n calibration workers, warmed (fixture
+    corpus built + first-call numpy tax paid) so every probe measures
+    steady state. Spawn, not fork: the caller hosts a live SparkSession
+    — forking a multithreaded JVM-attached process can deadlock the
+    children (ADVICE r3). The pool idles (zero CPU) while the Spark job
+    runs; probes reuse it."""
     import multiprocessing as mp
 
-    # spawn, not fork: the caller (_scale_worker) hosts a live
-    # SparkSession — forking a multithreaded JVM-attached process can
-    # deadlock the calibration children (ADVICE r3)
-    with mp.get_context("spawn").Pool(n) as p:
-        p.map(_spin, [10_000] * n)  # warm the pool
-        t0 = time.time()
-        p.map(_spin, [iters] * (n * 2))
-        dt = time.time() - t0
-    return round(iters * 2 / dt / 1e6, 2)
+    pool = mp.get_context("spawn").Pool(n)
+    pool.map(_cal_task, [2] * n)
+    return pool
+
+
+def _pool_rate(pool, n: int, docs: int = 8) -> float:
+    """Per-core docs/s of the extraction calibration with n busy cores
+    (no Spark, no shared state). The host throttles per-core throughput
+    as more vCPUs go busy AND drifts minute-to-minute with neighbor
+    load, so even a PERFECTLY scaling job cannot exceed
+    eff = rate(4N)/rate(N), and the ceiling must be measured in the
+    same time window as the runs it normalizes."""
+    t0 = time.time()
+    pool.map(_cal_task, [docs] * (n * 2))
+    dt = time.time() - t0
+    return round(docs * 2 / dt, 3)
+
+
+def _guest_busy_steal() -> tuple[int, int]:
+    """(busy, steal) clock ticks from /proc/stat, all vCPUs. Steal is
+    accrued while the hypervisor deschedules a runnable vCPU — time the
+    guest's utime ticks silently include. Sampling it ACROSS each timed
+    run gives a per-run speed factor busy/(busy+steal) measured in the
+    run's own window, not an adjacent probe's."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return v[0] + v[1] + v[2], v[7]
 
 
 def _tree_cpu_seconds() -> float:
@@ -330,16 +371,21 @@ def _scale_worker(n: int, corpus: str, conn) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     _run_extraction(spark, corpus, SCALE_MODE)  # corpus-scale warm pass
+    pool = _cal_pool(n)
     conn.send("ready")
     while True:
         if conn.recv() == "stop":
             break
-        rate_before = _pool_rate(n)
+        rate_before = _pool_rate(pool, n)
         cpu0 = _tree_cpu_seconds()
+        b0, s0 = _guest_busy_steal()
         wall = _run_extraction(spark, corpus, SCALE_MODE)
+        b1, s1 = _guest_busy_steal()
         util = (_tree_cpu_seconds() - cpu0) / (wall * n)
-        rate_after = _pool_rate(n)
-        conn.send((wall, rate_before, rate_after, util))
+        steal_f = (b1 - b0) / max(1, (b1 - b0) + (s1 - s0))
+        rate_after = _pool_rate(pool, n)
+        conn.send((wall, rate_before, rate_after, util, steal_f))
+    pool.terminate()
     spark.stop()
     conn.close()
 
@@ -367,30 +413,40 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
     walls: dict[int, list] = {n_small: [], cpus: []}
     rates: dict[int, list] = {n_small: [], cpus: []}  # (before, after) pairs
     utils: dict[int, list] = {n_small: [], cpus: []}
+    steals: dict[int, list] = {n_small: [], cpus: []}  # busy/(busy+steal)
     for _ in range(reps):
         for n in (n_small, cpus):
             _, conn = workers[n]
             conn.send("run")
-            wall, rb, ra, util = conn.recv()
+            wall, rb, ra, util, steal_f = conn.recv()
             walls[n].append(round(wall, 3))
             rates[n].append((rb, ra))
             utils[n].append(round(util, 3))
+            steals[n].append(round(steal_f, 4))
     for proc, conn in workers.values():
         conn.send("stop")
         proc.join()
     t_small, t_big = min(walls[n_small]), min(walls[cpus])
     ratio = cpus // n_small
     eff = (t_small / t_big) / ratio
-    # per-rep pairing: rep i's raw efficiency normalized by rep i's
-    # measured machine ceiling (mean of the bracketing probes per level,
-    # big-per-core over small-per-core) — a perfectly scaling job scores
-    # 1.0 regardless of how hard the host throttles or how neighbors
-    # drift between reps. `drift` is the worse of the two levels'
-    # |before-after|/mean — the rep's own evidence of how unstable its
-    # window was (quiet reps have drift near 0).
+    # steal-corrected walls: wall * busy/(busy+steal), the hypervisor
+    # descheduling measured DURING the run itself (not an adjacent
+    # probe) — what the wall would have been with zero steal
+    cwalls = {
+        n: [w * f for w, f in zip(walls[n], steals[n])] for n in (n_small, cpus)
+    }
+    eff_corr = (min(cwalls[n_small]) / min(cwalls[cpus])) / ratio
+    # per-rep pairing: rep i's steal-corrected efficiency normalized by
+    # rep i's measured machine ceiling (kernel-mix probes bracketing
+    # each run, mean of the pair; big-per-core over small-per-core) — a
+    # perfectly scaling job scores 1.0 regardless of how hard the host
+    # throttles or how neighbors drift between reps. `calib_drift` is
+    # the worse of the two levels' |before-after|/mean — the rep's own
+    # evidence of how unstable its window was.
     per_rep = []
     for i in range(reps):
         raw_i = (walls[n_small][i] / walls[cpus][i]) / ratio
+        corr_i = (cwalls[n_small][i] / cwalls[cpus][i]) / ratio
         mean_small = (rates[n_small][i][0] + rates[n_small][i][1]) / 2
         mean_big = (rates[cpus][i][0] + rates[cpus][i][1]) / 2
         ceil_i = mean_big / mean_small
@@ -402,18 +458,21 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
         per_rep.append(
             {
                 "raw": round(raw_i, 3),
+                "steal_corrected": round(corr_i, 3),
                 "machine_ceiling": round(ceil_i, 3),
-                "vs_machine": round(raw_i / ceil_i, 3),
+                "vs_machine": round(corr_i / ceil_i, 3),
                 "calib_drift": round(drift_i, 3),
                 "cpu_util_small": utils[n_small][i],
                 "cpu_util_big": utils[cpus][i],
+                "steal_factor_small": steals[n_small][i],
+                "steal_factor_big": steals[cpus][i],
             }
         )
     vs_sorted = sorted(r["vs_machine"] for r in per_rep)
     vs_machine = vs_sorted[reps // 2]
     # the quietest rep (lowest bracketing-probe drift at both levels) is
     # the closest thing to an uncontended measurement this host offers —
-    # its RAW efficiency is reported as the quiet-window spot check
+    # its steal-corrected efficiency is the quiet-window spot check
     quiet = min(per_rep, key=lambda r: r["calib_drift"])
     return {
         "mode": SCALE_MODE,
@@ -425,13 +484,17 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
         "sec_big": round(t_big, 3),
         "runs_small": walls[n_small],
         "runs_big": walls[cpus],
-        "per_core_mops_small": rates[n_small],
-        "per_core_mops_big": rates[cpus],
+        "runs_small_steal_corrected": [round(w, 3) for w in cwalls[n_small]],
+        "runs_big_steal_corrected": [round(w, 3) for w in cwalls[cpus]],
+        # extraction-calibration docs/s/core, (before, after) per rep
+        "per_core_docs_small": rates[n_small],
+        "per_core_docs_big": rates[cpus],
         "docs_per_sec_small": round(docs_n / t_small, 3),
         "docs_per_sec_big": round(docs_n / t_big, 3),
         "spans_per_sec_small": round(spans_n / t_small, 3),
         "spans_per_sec_big": round(spans_n / t_big, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_steal_corrected": round(eff_corr, 3),
         "scaling_reps": per_rep,
         # median of the per-rep normalized values — the plan-level signal
         "scaling_efficiency_vs_machine": vs_machine,
