@@ -274,11 +274,25 @@ def _cal_task(n_docs: int) -> int:
     from ocr_spark.fixtures import build_corpus
 
     if _CAL_CORPUS is None:
-        docs, media = build_corpus(n_docs=24, seed=42, skew_monster_spans=0)
-        _CAL_CORPUS = (docs, {m["media_ref"]: m["png"] for m in media})
-    docs, lookup = _CAL_CORPUS
+        docs, media = build_corpus(n_docs=60, seed=42, skew_monster_spans=0)
+        lookup = {m["media_ref"]: m["png"] for m in media}
+        # media-bearing docs only: text-only docs are ~100x cheaper and
+        # would let the probe finish before the host's multi-core
+        # throttle even shows (the r4 first-cut probe measured
+        # 17-77 "docs/s/core" on trivial docs — useless as a ceiling)
+        heavy = [
+            d
+            for d in docs
+            if any(
+                s["kind"] in ("media", "pdf") and s["media_ref"]
+                for s in d["spans"]
+            )
+        ]
+        _CAL_CORPUS = (heavy, lookup)
+    heavy, lookup = _CAL_CORPUS
     c = 0
-    for d in docs[:n_docs]:
+    for i in range(n_docs):
+        d = heavy[i % len(heavy)]
         out, _ = process_document(d["doc_id"], d["spans"], lookup.get, "got")
         c += len(out)
     return c
@@ -298,7 +312,7 @@ def _cal_pool(n: int):
     return pool
 
 
-def _pool_rate(pool, n: int, docs: int = 8) -> float:
+def _pool_rate(pool, n: int, docs: int = 10) -> float:
     """Per-core docs/s of the extraction calibration with n busy cores
     (no Spark, no shared state). The host throttles per-core throughput
     as more vCPUs go busy AND drifts minute-to-minute with neighbor
