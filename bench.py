@@ -376,7 +376,20 @@ def _scale_worker(n: int, corpus: str, conn) -> None:
     alive and ALTERNATING runs bounds host-speed drift between the
     levels (this VM's speed varies minute-to-minute with neighbor load
     — sequential per-level blocks measured the same job anywhere from
-    60.8 s to 94.0 s at local[8] across one hour)."""
+    60.8 s to 94.0 s at local[8] across one hour).
+
+    The worker pins itself (and therefore everything it spawns — the
+    py4j JVM, pyspark.daemon and its forked python workers, and the
+    calibration pool) to exactly `n` vCPUs. Without the pin, the
+    small level's JVM/shuffle/daemon overhead threads escape onto the
+    24 idle vCPUs — capacity a real N-executor cluster does not have —
+    so the N-core baseline runs artificially fast and the measured
+    N->4N efficiency is biased LOW. Pinning makes both levels resource-
+    honest: an \"N-core\" number means the job, overhead included, had
+    exactly N cores (r4; the calibration pool inherits the same mask,
+    so each rep's machine ceiling is measured on the same cpuset as
+    the run it normalizes)."""
+    os.sched_setaffinity(0, range(n))
     from ocr_spark.spark.session import get_spark
 
     spark = get_spark(
