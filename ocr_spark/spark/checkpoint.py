@@ -28,6 +28,35 @@ from ocr_spark.spark.pipeline import run_pipeline
 MANIFEST_DIR = "_manifest"
 
 
+def _table_layout_of(df: DataFrame) -> int | None:
+    """The layout_buckets a frame's backing table was ingested with, read
+    from the `_layout.json` sidecar at the table root (corpus.LAYOUT_META,
+    written by write_corpus_parquet). None when it cannot be determined —
+    catalog tables, external ingests, or pre-sidecar corpora — in which
+    case the caller must not assume any particular modulus."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    path = files[0]
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    elif "://" in path:  # remote filesystem — sidecar not reachable here
+        return None
+    d = os.path.dirname(path)
+    while "=" in os.path.basename(d):  # walk up past hive partition dirs
+        d = os.path.dirname(d)
+    from ocr_spark.spark.corpus import LAYOUT_META
+
+    try:
+        with open(os.path.join(d, LAYOUT_META)) as f:
+            return int(json.load(f)["layout_buckets"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def bucket_expr(n_buckets: int):
     """Deterministic doc -> bucket hash (the resume partition key).
 
@@ -188,27 +217,70 @@ def run_extraction_job(
                 stacklevel=2,
             )
     media_has_bucket = "bucket" in media_df.columns
-    # mixed inputs (media bucketed, docs on the md5-hash fallback): the
-    # two methods assign the same runtime bucket iff n | LAYOUT_BUCKETS
-    # (pmod(md5 % L, n) == md5 % n). When they agree, media pruning is
-    # provably safe and stays ON; when they cannot agree, pruning the
-    # media scan would silently turn its spans into counted skips — that
-    # geometry fails fast instead of degrading (ADVICE r2 / VERDICT r3 #8).
-    media_prunable = media_has_bucket and filter_method == "bucket-column"
-    if media_has_bucket and filter_method == "hash":
-        from ocr_spark.spark.corpus import LAYOUT_BUCKETS
+    # Media pruning is safe exactly when the media-side filter assigns
+    # every doc the SAME runtime bucket as the docs-side filter. The
+    # geometry is judged against the layouts the tables were ACTUALLY
+    # ingested with (the _layout.json sidecar, via _table_layout_of) —
+    # never a compile-time constant, since write_corpus_parquet's
+    # layout_buckets is caller-chosen.
+    #   * docs + media both bucketed, same ingest layout (or both
+    #     unknown, the documented same-ingest assumption for catalog
+    #     tables): pmod(bucket, n) applies the identical function to the
+    #     identical per-doc value on both sides — safe for ANY n.
+    #   * docs + media bucketed with DIFFERENT known layouts L_d != L_m:
+    #     the assignments only coincide when n divides both; otherwise
+    #     scan media unpruned (always correct, just slower) and warn.
+    #   * docs on the md5-hash fallback, media bucketed with known
+    #     layout L: safe iff n | L (pmod(md5 % L, n) == md5 % n). A
+    #     known non-dividing L fails fast — a pruned run would silently
+    #     turn media spans into counted skips (ADVICE r2 / VERDICT r3
+    #     #8). Unknown L degrades to the unpruned scan with a warning.
+    import warnings
 
-        if LAYOUT_BUCKETS % n_buckets != 0:
-            raise ValueError(
-                f"mixed bucketing geometry: media carries the `bucket` "
-                f"layout column (LAYOUT_BUCKETS={LAYOUT_BUCKETS}) but docs "
-                f"fall back to the md5 hash and n_buckets={n_buckets} does "
-                f"not divide {LAYOUT_BUCKETS} — the two assignments "
-                "disagree, so a pruned run would silently skip media "
-                "spans. Ingest docs with the layout column or pick "
-                f"n_buckets dividing {LAYOUT_BUCKETS}."
+    media_prunable = False
+    if media_has_bucket and filter_method == "bucket-column":
+        dl, ml = _table_layout_of(docs_df), _table_layout_of(media_df)
+        same_ingest = dl == ml  # includes both-unknown: the documented
+        # same-ingest assumption for catalog tables, where the two bucket
+        # columns were materialized together. A sidecar PRESENT on one
+        # side but not the other is evidence of different ingests, so it
+        # does NOT get the assumption.
+        both_divide = (
+            dl is not None
+            and ml is not None
+            and dl % n_buckets == 0
+            and ml % n_buckets == 0
+        )
+        if same_ingest or both_divide:
+            media_prunable = True
+        else:
+            warnings.warn(
+                f"docs and media bucket layouts differ or cannot be "
+                f"compared (docs={dl}, media={ml}) and n_buckets="
+                f"{n_buckets} does not provably divide both — scanning "
+                "media unpruned",
+                stacklevel=2,
             )
-        media_prunable = True
+    elif media_has_bucket:
+        ml = _table_layout_of(media_df)
+        if ml is None:
+            warnings.warn(
+                "media carries the `bucket` layout column but its ingest "
+                "layout is unknown and docs fall back to the md5 hash — "
+                "scanning media unpruned",
+                stacklevel=2,
+            )
+        elif ml % n_buckets == 0:
+            media_prunable = True
+        else:
+            raise ValueError(
+                f"mixed bucketing geometry: media was ingested with "
+                f"layout_buckets={ml} but docs fall back to the md5 hash "
+                f"and n_buckets={n_buckets} does not divide {ml} — the "
+                "two assignments disagree, so a pruned run would "
+                "silently skip media spans. Ingest docs with the layout "
+                f"column or pick n_buckets dividing {ml}."
+            )
     processed = []
     skipped = sorted(done)
     t_start = time.time()

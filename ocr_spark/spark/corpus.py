@@ -17,6 +17,7 @@ prunes identically.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import tempfile
 
@@ -33,6 +34,15 @@ LAYOUT_BUCKETS = 8
 # bump when the corpus layout or fixture generator changes expected bytes
 # (cached /tmp corpora from older builds must not be reused)
 CORPUS_VERSION = "v3"
+
+# sidecar recording the layout_buckets a partitioned table was actually
+# ingested with ("_" prefix: ignored by Spark/Hadoop/pyarrow dataset
+# discovery, like _SUCCESS). The resume loop's mixed-input geometry
+# check reads it (checkpoint._table_layout_of) so divisibility is
+# proven against the TRUE ingest layout, not a compile-time constant —
+# write_corpus_parquet(layout_buckets=) is public API and need not
+# match LAYOUT_BUCKETS.
+LAYOUT_META = "_layout.json"
 
 SPAN_ARROW = pa.struct(
     [
@@ -170,6 +180,9 @@ def write_corpus_parquet(
         ],
         MEDIA_ARROW, media_path, ["bucket", "heavy"], 256,
     )
+    for root in (docs_path, media_path):
+        with open(os.path.join(root, LAYOUT_META), "w") as f:
+            json.dump({"layout_buckets": layout_buckets}, f)
     return docs_path, media_path
 
 

@@ -5,6 +5,8 @@ checkpoint/resume semantics."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ocr_spark.spark.corpus import read_corpus
@@ -236,11 +238,12 @@ def test_mixed_inputs_hash_docs_bucketed_media(
     spark, corpus_dir, oracle_extracted, tmp_path
 ):
     """ADVICE r2 / VERDICT r3 #8: docs WITHOUT the bucket layout column
-    (hash fallback) + media WITH it. When n_buckets does not divide
-    LAYOUT_BUCKETS=8 the two assignments disagree — a pruned media scan
-    would silently skip spans — so the job must FAIL FAST. When it does
-    divide, pmod(md5 % L, n) == md5 % n, so the pruned run is provably
-    safe and the output must equal the oracle exactly."""
+    (hash fallback) + media WITH it. When n_buckets does not divide the
+    media table's INGESTED layout (the _layout.json sidecar — here 8)
+    the two assignments disagree — a pruned media scan would silently
+    skip spans — so the job must FAIL FAST. When it does divide,
+    pmod(md5 % L, n) == md5 % n, so the pruned run is provably safe and
+    the output must equal the oracle exactly."""
     from ocr_spark.spark.checkpoint import read_extracted, run_extraction_job
 
     docs, media = read_corpus(spark, corpus_dir)
@@ -256,6 +259,71 @@ def test_mixed_inputs_hash_docs_bucketed_media(
         spark, docs_nb, media, out_dir, run_id="mix4", n_buckets=4,
         span_partitions=8,
     )
+    assert report["complete"]
+    rows = {r["doc_id"]: r for r in read_extracted(spark, out_dir).collect()}
+    assert_equals_oracle(rows, oracle_extracted)
+
+
+def test_mixed_geometry_judged_against_ingested_layout(
+    spark, oracle_extracted, tmp_path
+):
+    """The divisibility check must use the layout the media table was
+    ACTUALLY ingested with, not the LAYOUT_BUCKETS constant:
+    write_corpus_parquet(layout_buckets=) is public API. With L=10,
+    n_buckets=4 must fail fast (10 % 4 != 0 — the old constant-based
+    check would have pruned and silently skipped media spans, since
+    8 % 4 == 0) and n_buckets=5 must prune AND match the oracle."""
+    from ocr_spark.spark.checkpoint import read_extracted, run_extraction_job
+    from ocr_spark.spark.corpus import read_corpus as _rc
+    from ocr_spark.spark.corpus import write_corpus_parquet
+    from tests.conftest import N_DOCS, SKEW_SPANS
+
+    cdir = str(tmp_path / "corpus10")
+    write_corpus_parquet(
+        cdir, n_docs=N_DOCS, skew_monster_spans=SKEW_SPANS, layout_buckets=10
+    )
+    docs, media = _rc(spark, cdir)
+    docs_nb = docs.select("doc_id", "spans")
+    with pytest.raises(ValueError, match="layout_buckets=10"):
+        run_extraction_job(
+            spark, docs_nb, media, str(tmp_path / "bad"), run_id="mixL4",
+            n_buckets=4, span_partitions=8,
+        )
+    out_dir = str(tmp_path / "extracted10")
+    report = run_extraction_job(
+        spark, docs_nb, media, out_dir, run_id="mixL5", n_buckets=5,
+        span_partitions=8,
+    )
+    assert report["complete"]
+    rows = {r["doc_id"]: r for r in read_extracted(spark, out_dir).collect()}
+    assert_equals_oracle(rows, oracle_extracted)
+
+
+def test_mixed_geometry_unknown_layout_degrades_unpruned(
+    spark, corpus_dir, oracle_extracted, tmp_path
+):
+    """A bucketed media table WITHOUT the layout sidecar (external or
+    pre-sidecar ingest) has an unprovable modulus: the job must not
+    raise and must not prune — warn, scan media unpruned, and still
+    match the oracle exactly (resumes of old half-complete runs keep
+    working)."""
+    import shutil
+
+    from ocr_spark.spark.checkpoint import read_extracted, run_extraction_job
+    from ocr_spark.spark.corpus import LAYOUT_META
+    from ocr_spark.spark.corpus import read_corpus as _rc
+
+    cdir = str(tmp_path / "corpus_nosidecar")
+    shutil.copytree(corpus_dir, cdir)
+    os.remove(os.path.join(cdir, "media.parquet", LAYOUT_META))
+    docs, media = _rc(spark, cdir)
+    docs_nb = docs.select("doc_id", "spans")
+    out_dir = str(tmp_path / "extracted_ns")
+    with pytest.warns(UserWarning, match="unpruned"):
+        report = run_extraction_job(
+            spark, docs_nb, media, out_dir, run_id="mixU3", n_buckets=3,
+            span_partitions=8,
+        )
     assert report["complete"]
     rows = {r["doc_id"]: r for r in read_extracted(spark, out_dir).collect()}
     assert_equals_oracle(rows, oracle_extracted)
