@@ -72,6 +72,17 @@ _PDF_META_KEYS = {
     b"CreationDate": "creationDate",
     b"ModDate": "modDate",
 }
+# reverse map for the fixture writer: metadata-dict key -> the exact
+# Info-dictionary name the walker (and fitz) match. .capitalize() would
+# mangle the camelCase names (/Creationdate is matched by nothing).
+_PDF_INFO_NAMES = {v: k for k, v in _PDF_META_KEYS.items()}
+
+# hard bound on any single raster the no-fitz walker will allocate:
+# canvas and placement dimensions come from untrusted PDF bytes, and an
+# unbounded np.full() is an executor OOM-kill, not a counted skip.
+# 64 MP (uint8) is ~8x a letter page at dpi=300 — far above any
+# legitimate fixture-grade page, far below memory trouble.
+_MAX_RASTER_PX = 64_000_000
 
 
 def _walk_pdf_metadata(data: bytes) -> dict:
@@ -176,7 +187,17 @@ def _walk_pdf_render(data: bytes, dpi: int) -> list[np.ndarray]:
         x0, y0, x1, y1 = (float(v) for v in mb.groups())
         cw = max(1, round((x1 - x0) * zoom))
         ch = max(1, round((y1 - y0) * zoom))
+        # dimensions come from untrusted bytes: a hostile MediaBox would
+        # otherwise np.full() tens of GB and get the worker OOM-killed —
+        # a task failure core.py's except->skip contract can't catch.
+        # Raising keeps it a counted skip like every other bad payload.
+        if ch * cw > _MAX_RASTER_PX:
+            raise ValueError(
+                f"page raster {cw}x{ch} at dpi={dpi} exceeds the "
+                f"{_MAX_RASTER_PX / 1e6:.0f} MP walker bound"
+            )
         canvas = np.full((ch, cw), 255, dtype=np.uint8)
+        page_placed = 0
         # name -> image XObject ref from the page's resources
         xobj = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
         names = (
@@ -223,6 +244,11 @@ def _walk_pdf_render(data: bytes, dpi: int) -> list[np.ndarray]:
                 raise ValueError("truncated image stream; requires PyMuPDF")
             img = np.frombuffer(raw[: iw * ih], dtype=np.uint8).reshape(ih, iw)
             dw, dh = max(1, round(a * zoom)), max(1, round(d * zoom))
+            if dw * dh > _MAX_RASTER_PX:
+                raise ValueError(
+                    f"image placement {dw}x{dh} exceeds the "
+                    f"{_MAX_RASTER_PX / 1e6:.0f} MP walker bound"
+                )
             dx = round((e - x0) * zoom)
             dy = ch - round((f - y0) * zoom) - dh  # PDF y-up -> raster y-down
             scaled = (
@@ -238,6 +264,20 @@ def _walk_pdf_render(data: bytes, dpi: int) -> list[np.ndarray]:
                     sy0 : sy0 + (ty1 - ty0), sx0 : sx0 + (tx1 - tx0)
                 ]
                 placed += 1
+                page_placed += 1
+        # the guard is PER PAGE: a page whose content stream draws
+        # things the walker cannot rasterize (text BT..ET, paths,
+        # unmatched Do forms) must raise into the counted-skip path —
+        # NOT silently render as a blank white canvas in a mixed PDF
+        # where another page did place an image. A content stream with
+        # no drawing operators at all is a legitimately blank page.
+        if page_placed == 0 and content and re.search(
+            rb"\b(Do|BT|re|sh)\b", content
+        ):
+            raise ValueError(
+                "page draws content the walker cannot rasterize; full "
+                "rendering requires PyMuPDF"
+            )
         out.append(canvas)
     if placed == 0:
         raise ValueError(
@@ -301,7 +341,7 @@ def encode_image_pdf(
     info_body = b"<< " + b" ".join(
         b"/%s (%s)"
         % (
-            k.encode("latin-1").capitalize(),
+            _PDF_INFO_NAMES.get(k, k.encode("latin-1").capitalize()),
             str(v).encode("latin-1").replace(b"(", rb"\(").replace(b")", rb"\)"),
         )
         for k, v in (metadata or {}).items()

@@ -177,3 +177,52 @@ def test_real_pdf_roundtrip_under_fitz():
     assert meta["page_count"] == 1
     pages = render_pages(data, dpi=144)
     assert pages[0].shape[:2] == (144, 144)  # zoom = 144/72 = 2x
+
+
+def test_walker_render_mixed_pdf_text_page_raises():
+    """A page that DRAWS something the walker cannot rasterize (text
+    operators) must raise into the counted-skip path even when another
+    page placed an image — never silently render as a blank canvas."""
+    from ocr_spark.pdfio import _walk_pdf_render, encode_image_pdf
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    data = encode_image_pdf([img, img])
+    # rewrite page 2's content stream ops to a text block of equal length
+    ops = b"q 8 0 0 8 0 0 cm /Im0 Do Q"
+    txt = b"BT /F1 9 Tf (hi) Tj ET".ljust(len(ops))
+    assert data.count(ops) == 2
+    mixed = data[: data.rindex(ops)] + txt + data[data.rindex(ops) + len(ops):]
+    with pytest.raises(ValueError, match="cannot rasterize"):
+        _walk_pdf_render(mixed, 72)
+    # both pages blank-but-undrawn is the document-level raise
+    allblank = data.replace(ops, b" " * len(ops))
+    with pytest.raises(ValueError, match="no rasterizable"):
+        _walk_pdf_render(allblank, 72)
+
+
+def test_walker_render_bounds_hostile_dimensions():
+    """Canvas/placement sizes come from untrusted bytes: a huge MediaBox
+    must raise (-> counted skip), not allocate tens of GB and get the
+    worker OOM-killed."""
+    from ocr_spark.pdfio import _walk_pdf_render, encode_image_pdf
+
+    data = encode_image_pdf([np.full((8, 8), 128, dtype=np.uint8)])
+    hostile = data.replace(
+        b"/MediaBox [0 0 8 8]", b"/MediaBox [0 0 99999 99999]"
+    )
+    assert hostile != data
+    with pytest.raises(ValueError, match="walker bound"):
+        _walk_pdf_render(hostile, 300)
+
+
+def test_encode_image_pdf_metadata_roundtrip_camelcase():
+    """creationDate/modDate must survive the write->probe round trip:
+    the writer emits the exact Info names the walker (and fitz) match."""
+    from ocr_spark.pdfio import encode_image_pdf, pdf_metadata
+
+    meta_in = {"title": "t", "creationDate": "D:20260818", "modDate": "D:20260819"}
+    data = encode_image_pdf([np.full((8, 8), 128, dtype=np.uint8)], meta_in)
+    meta = pdf_metadata(data)
+    assert meta["creationDate"] == "D:20260818"
+    assert meta["modDate"] == "D:20260819"
+    assert meta["title"] == "t"
