@@ -957,10 +957,21 @@ def q_dedup_clusters(
     from pyspark.sql import Window
 
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is session-global: restore the previous value
+        # after plan construction so this query doesn't silently redirect
+        # every later df.checkpoint() in a long-lived session (e.g. to a
+        # tmp dir a test harness will delete).
+        jsc = spark.sparkContext._jsc.sc()
+        prev = jsc.getCheckpointDir()
+        prev_dir = prev.get() if prev.isDefined() else None
 
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint()
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            try:
+                return df.checkpoint()
+            finally:
+                if prev_dir is not None:
+                    spark.sparkContext.setCheckpointDir(prev_dir)
 
     else:
 

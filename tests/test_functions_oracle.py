@@ -488,3 +488,23 @@ def test_minhash_signatures_match_oracle_seeds(spark, tmp_path):
             )
             i = s * _MD5_LANES + lane
             assert row[f"sig{i}"] == expected, f"sig{i} has a wrong seed/lane"
+
+
+def test_dedup_clusters_checkpoint_dir_is_restored(spark, tmp_path):
+    """checkpoint_dir= must not leak: the session-global checkpoint dir
+    is restored after the query, so later df.checkpoint() calls in a
+    long-lived session don't silently land under this query's (possibly
+    deleted) directory."""
+    from ocr_spark.functions.dedup import q_dedup_clusters
+
+    prev_dir = str(tmp_path / "session_ckpt")
+    spark.sparkContext.setCheckpointDir(prev_dir)
+    q_dedup_clusters(
+        spark, SF_DIR, checkpoint_dir=str(tmp_path / "cc_ckpt2")
+    ).collect()
+    cur = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert cur.isDefined()
+    # Spark nests a per-set UUID subdir under the root, so assert the
+    # restored dir is under the session root, not the query's dir
+    got = cur.get()
+    assert "session_ckpt" in got and "cc_ckpt2" not in got, got
