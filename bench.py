@@ -8,14 +8,18 @@ Prints ONE JSON line:
    "extraction": {"docs": N, "spans": N, "docs_per_sec": ..., "spans_per_sec": ...}}
 
 --scaling additionally runs the extraction job at local[N] and
-local[4N] (N = cpus/4) with a warmup pass each and reports throughput
-at both plus efficiency = (T_N / T_4N) / 4 — the sandbox proxy for the
-north_rule's two-cluster-size criterion (no real cluster here). It
-also calibrates the machine's embarrassingly-parallel ceiling (pure-CPU
-multiprocessing spin at N vs 4N busy cores, no Spark): this VM's host
-throttles per-core throughput when all vCPUs are busy, so raw
-efficiency is bounded by the ceiling; `scaling_efficiency_vs_machine`
-is the plan-level signal.
+local[4N] (N = cpus/4), each level pinned to its own cpuset, runs
+interleaved round-robin, and reports throughput at both plus
+efficiency = (T_N / T_4N) / 4 — the sandbox proxy for the north_rule's
+two-cluster-size criterion (no real cluster here). Each timed run is
+BRACKETED by same-cpuset machine-ceiling probes (the extraction kernel
+mix itself via a multiprocessing pool — NOT a pure-CPU spin, whose
+throttle curve differs from the workload's) and samples /proc/stat
+steal across its own window. This VM's host throttles per-core
+throughput when all vCPUs are busy and drifts with neighbor load, so
+raw efficiency is bounded by a moving ceiling;
+`scaling_efficiency_vs_machine` (per-rep raw/ceiling, median) is the
+plan-level signal.
 """
 
 from __future__ import annotations
@@ -307,8 +311,13 @@ def _cal_pool(n: int):
     runs; probes reuse it."""
     import multiprocessing as mp
 
-    pool = mp.get_context("spawn").Pool(n)
-    pool.map(_cal_task, [2] * n)
+    # warm via the pool INITIALIZER: a shared task queue gives no
+    # guarantee every worker gets a warm task (a late-spawning worker
+    # can find it drained and pay the corpus-build + first-call numpy
+    # tax inside the first timed probe, understating that rep's
+    # ceiling); the initializer runs in each worker by construction
+    pool = mp.get_context("spawn").Pool(n, initializer=_cal_task, initargs=(2,))
+    pool.map(_cal_task, [1] * n)  # block until every worker is up
     return pool
 
 
@@ -463,12 +472,19 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
         n: [w * f for w, f in zip(walls[n], steals[n])] for n in (n_small, cpus)
     }
     eff_corr = (min(cwalls[n_small]) / min(cwalls[cpus])) / ratio
-    # per-rep pairing: rep i's steal-corrected efficiency normalized by
-    # rep i's measured machine ceiling (kernel-mix probes bracketing
-    # each run, mean of the pair; big-per-core over small-per-core) — a
+    # per-rep pairing: rep i's RAW efficiency normalized by rep i's
+    # measured machine ceiling (extraction-mix probes bracketing each
+    # run, mean of the pair; big-per-core over small-per-core) — a
     # perfectly scaling job scores 1.0 regardless of how hard the host
-    # throttles or how neighbors drift between reps. `calib_drift` is
-    # the worse of the two levels' |before-after|/mean — the rep's own
+    # throttles or how neighbors drift between reps. The numerator is
+    # deliberately NOT steal-corrected: the bracketing probes run with
+    # ~the run's own steal, so hypervisor descheduling appears in BOTH
+    # the ceiling and the raw wall and cancels — correcting only the
+    # numerator would remove the same effect twice and bias vs_machine
+    # high by the probe window's steal fraction (a perfectly scaling
+    # job would score ~1/steal_factor_big > 1.0). steal_corrected is
+    # still reported per rep as its own column. `calib_drift` is the
+    # worse of the two levels' |before-after|/mean — the rep's own
     # evidence of how unstable its window was.
     per_rep = []
     for i in range(reps):
@@ -487,7 +503,7 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
                 "raw": round(raw_i, 3),
                 "steal_corrected": round(corr_i, 3),
                 "machine_ceiling": round(ceil_i, 3),
-                "vs_machine": round(corr_i / ceil_i, 3),
+                "vs_machine": round(raw_i / ceil_i, 3),
                 "calib_drift": round(drift_i, 3),
                 "cpu_util_small": utils[n_small][i],
                 "cpu_util_big": utils[cpus][i],
@@ -499,7 +515,7 @@ def run_scaling(sf_dir: str, cpus: int, reps: int = 5) -> dict:
     vs_machine = vs_sorted[reps // 2]
     # the quietest rep (lowest bracketing-probe drift at both levels) is
     # the closest thing to an uncontended measurement this host offers —
-    # its steal-corrected efficiency is the quiet-window spot check
+    # its raw and vs-machine figures are the quiet-window spot check
     quiet = min(per_rep, key=lambda r: r["calib_drift"])
     return {
         "mode": SCALE_MODE,

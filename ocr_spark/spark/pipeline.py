@@ -518,10 +518,12 @@ def run_pipeline(
         docs_df = docs_df.filter(docs_filter)
     # Heavy-compute stages want many small tasks: per-image cost varies by
     # ~100x (a clean 0.15 MP page vs a 2 MP split+merge page), so default
-    # to 8 tasks per core and let the scheduler even it out. Measured on
-    # the 2,400-doc scaling corpus at local[32]: 4/core left the last
-    # wave straggling (~0.72 core utilization, 8-10 s tail); 8/core
-    # packs to ~0.85; 16/core adds scheduling overhead with no gain.
+    # to 8 tasks per core and let the scheduler even it out. Measured at
+    # local[32] on 2,400-doc fixture corpora (bench-style, interleaved):
+    # 4/core left the last wave straggling (~0.72 core utilization,
+    # 8-10 s tail); 8/core packs to ~0.85 and had the best wall; a
+    # r4 re-sweep at 16/core and 32/core confirmed higher utilization
+    # but WORSE walls (per-task overhead, not useful work).
     default_parts = spark.sparkContext.defaultParallelism * 8
     span_partitions = span_partitions or default_parts
     # chunk rows are already finer-grained than spans; 2x parallelism
