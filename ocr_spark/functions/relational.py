@@ -60,9 +60,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = f"""
 WITH x AS (
+  -- floor(epoch(ts)): Spark's unix_timestamp() truncates to whole
+  -- seconds; DuckDB's bare epoch() keeps microseconds, which would
+  -- apply a DIFFERENT session-break rule to sub-second gap margins
   SELECT user_id,
-         CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                   OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+         CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+                   OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s,
          CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
   FROM events
