@@ -174,7 +174,13 @@ def make_sessionize_state_fn(gap_s: int = 1800):
         return int(pd.Timestamp(ts).value // 1000)
 
     def _to_ts(us: int):
-        return dt.datetime.utcfromtimestamp(us / 1e6)
+        # naive-UTC round trip (utcfromtimestamp is deprecated in 3.12+).
+        # Correct for fixed-offset session timezones; the engine pins
+        # spark.sql.session.timeZone=UTC (session.py), and a DST zone
+        # would make naive timestamps non-monotonic across transitions.
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
 
     def fn(key, pdfs, state):
         (user_id,) = key
@@ -187,10 +193,25 @@ def make_sessionize_state_fn(gap_s: int = 1800):
         # Sort across ALL Arrow chunks before the gap scan: a group whose
         # micro-batch spans multiple chunks may deliver an earlier timestamp
         # in a later chunk, which a per-chunk sort would merge into the
-        # wrong session.
-        for ts in sorted(_to_us(t) for pdf in pdfs for t in pdf["ts"]):
+        # wrong session. Null/NaT timestamps carry no ordering information
+        # and are skipped (pd.Timestamp(NaT).value is INT64_MIN, which
+        # would otherwise poison start_us).
+        for ts in sorted(
+            _to_us(t) for pdf in pdfs for t in pdf["ts"] if pd.notna(t)
+        ):
             if start_us is None:
                 start_us, last_us, n = ts, ts, 1
+            elif ts < start_us:
+                # a LATER micro-batch delivered an event before the open
+                # session's start (the in-batch sort can't see it)
+                if start_us - ts > gap_us:
+                    # its own earlier session: gap-separated on the right
+                    # by construction; unbounded reordering beyond one
+                    # open session needs a watermark, out of scope here
+                    closed.append((user_id, _to_ts(ts), _to_ts(ts), 1))
+                else:
+                    start_us = ts  # extend the open session backward
+                    n += 1
             elif ts - last_us > gap_us:
                 closed.append((user_id, _to_ts(start_us), _to_ts(last_us), n))
                 start_us, last_us, n = ts, ts, 1

@@ -176,3 +176,92 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got2 == {(1, 2), (2, 1)}
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState (the state fn is a pure
+    function of (key, pdfs, state) — unit-testable without a stream)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self.removed = True
+
+
+def _run_state_fn(fn, state, ts_list):
+    import pandas as pd
+
+    out = list(fn((1,), iter([pd.DataFrame({"ts": ts_list})]), state))
+    return out[0] if out else None
+
+
+def test_sessionize_state_fn_late_event_extends_session_backward():
+    """A later micro-batch delivering an event BEFORE the open session's
+    start (but within the gap) must extend session_start backward, not
+    count the event inside an interval that excludes it."""
+    import datetime as dt
+
+    from ocr_spark.spark.streaming import make_sessionize_state_fn
+
+    fn = make_sessionize_state_fn(gap_s=1800)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda d: int(d.timestamp() * 1e6)  # noqa: E731
+    state = _FakeGroupState((us(t0), us(t0), 1))
+    late = t0 - dt.timedelta(seconds=600)  # within the gap
+    assert _run_state_fn(fn, state, [late]) is None
+    start_us, last_us, n = state.get
+    assert start_us == us(late) and n == 2 and last_us == us(t0)
+
+
+def test_sessionize_state_fn_late_event_beyond_gap_is_own_session():
+    """An event older than the open session's start by MORE than the gap
+    is its own (already gap-closed) session, emitted immediately."""
+    import datetime as dt
+
+    from ocr_spark.spark.streaming import make_sessionize_state_fn
+
+    fn = make_sessionize_state_fn(gap_s=1800)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda d: int(d.timestamp() * 1e6)  # noqa: E731
+    state = _FakeGroupState((us(t0), us(t0), 1))
+    very_late = t0 - dt.timedelta(seconds=4000)
+    out = _run_state_fn(fn, state, [very_late])
+    assert out is not None and len(out) == 1
+    row = out.iloc[0]
+    assert row["n_events"] == 1 and row["session_start"] == very_late
+    # the open session is untouched
+    assert state.get == (us(t0), us(t0), 1)
+
+
+def test_sessionize_state_fn_skips_null_timestamps():
+    """NaT rows carry no ordering information: they must be skipped, not
+    poison start_us with INT64_MIN."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ocr_spark.spark.streaming import make_sessionize_state_fn
+
+    fn = make_sessionize_state_fn(gap_s=1800)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    state = _FakeGroupState()
+    assert _run_state_fn(fn, state, [pd.NaT, t0, None]) is None
+    start_us, last_us, n = state.get
+    assert n == 1 and start_us == int(t0.timestamp() * 1e6)
