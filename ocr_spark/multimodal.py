@@ -194,12 +194,18 @@ def make_audio_features_udf(sample_rate: int = 16000, fake: bool | None = None):
                         samples, rate = _fake_samples(data), sample_rate
                     else:
                         samples, rate = _decode_audio(data)
+                    # a structurally valid zero-frame WAV decodes to an
+                    # empty array; mean([]) is NaN, and NaN in a
+                    # decode_ok row breaks downstream aggregation
+                    rms = (
+                        float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+                    )
                     rows.append(
                         {
                             "media_ref": r.media_ref,
                             "n_samples": len(samples),
                             "duration_s": round(len(samples) / rate, 6),
-                            "rms": round(float(np.sqrt(np.mean(samples**2))), 6),
+                            "rms": round(rms, 6),
                             "decode_ok": True,
                         }
                     )
@@ -247,11 +253,13 @@ def make_frame_sample_udf(every_n: int = 10, fake: bool | None = None):
     it is not; ``fake=False`` forces real decode (raises without PyAV);
     the fake treats the payload as a single-frame 'video' (its PNG),
     emitting the rows the real sampler would."""
-    use_fake = fake if fake is not None else _av() is None
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_spark.imaging.png import encode_png
 
+        # feature-detect on the EXECUTOR, where the UDF runs: driver-side
+        # detection would bake the driver venv's PyAV availability into
+        # the plan and kill tasks on heterogeneous clusters
+        use_fake = fake if fake is not None else _av() is None
         for b in batches:
             rows = []
             for r in b.itertuples():

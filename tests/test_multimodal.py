@@ -153,3 +153,28 @@ def test_frame_sample_fake(spark, media_df):
     ).collect()
     assert {r["media_ref"] for r in out} == {"m_gray", "m_rgb", "m_bad"}
     assert all(r["frame_idx"] == 0 for r in out)
+
+
+def test_audio_zero_frame_wav_has_zero_rms_not_nan():
+    """A structurally valid WAV with zero frames decodes to an empty
+    array; rms must be 0.0 (NaN in a decode_ok row breaks downstream
+    aggregation and hash comparisons)."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from ocr_spark.multimodal import make_audio_features_udf
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    batch = pd.DataFrame({"media_ref": ["a0"], "png": [buf.getvalue()]})
+    (out,) = list(make_audio_features_udf()(iter([batch])))
+    row = out.iloc[0]
+    assert bool(row["decode_ok"]) is True
+    assert row["n_samples"] == 0
+    assert row["rms"] == 0.0 and row["rms"] == row["rms"]  # not NaN
