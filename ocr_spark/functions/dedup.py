@@ -134,7 +134,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     )
-    sh = docs.select("doc_id", _shingles_col().alias("shingles"))
+    # materialize the shingle projection ONCE: it feeds the band subtree
+    # AND both sides of the scoring join, and Catalyst does not dedupe
+    # DataFrame self-joins — without this the tokenize+3-gram+distinct
+    # pass (and the documents scan under it) executes three times per
+    # run (same pattern as q_dedup_embedding's bucket frame; at
+    # production scale swap for persist/durable checkpoint)
+    sh = docs.select("doc_id", _shingles_col().alias("shingles")).localCheckpoint()
     # lane-split signatures (see _MD5_LANES): sig[s*4+lane] = min over
     # shingles of hex lane `lane` of md5(seed_s || shingle) — 3 md5
     # passes instead of 12, materialized once in their own projection
@@ -921,6 +927,7 @@ def connected_components(
     overflow-safe fixpoint test (labels only ever decrease, so
     changed == 0 is stable)."""
     labels = ckpt(labels)
+    changed = None
     for _ in range(max_iters):
         nbr = sym.join(
             labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
@@ -938,6 +945,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # a component whose diameter exceeds max_iters (e.g. a long
+        # boilerplate-drift chain) has NOT converged: returning partial
+        # labels would silently diverge from the exact fixpoint (and the
+        # recursive-CTE oracle). Fail loudly instead.
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iters; raise it for chain-shaped duplicate sets"
+        )
     return labels
 
 

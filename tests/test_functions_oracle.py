@@ -508,3 +508,31 @@ def test_dedup_clusters_checkpoint_dir_is_restored(spark, tmp_path):
     # restored dir is under the session root, not the query's dir
     got = cur.get()
     assert "session_ckpt" in got and "cc_ckpt2" not in got, got
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iters must raise — partial
+    labels would silently diverge from the exact fixpoint (and from the
+    recursive-CTE oracle)."""
+    import pytest as _pytest
+
+    from ocr_spark.functions.dedup import connected_components
+
+    def ckpt(df):
+        return df.localCheckpoint()
+
+    edges = [(i, i + 1) for i in range(1, 8)]  # chain 1..8, diameter 7
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "doc_a long, doc_b long"
+    ).localCheckpoint()
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(1, 9)], "doc_id long, rep long"
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(labels, sym, ckpt, max_iters=2)
+    # and with enough rounds the same graph converges exactly
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in connected_components(labels, sym, ckpt, max_iters=10).collect()
+    }
+    assert out == {i: 1 for i in range(1, 9)}
