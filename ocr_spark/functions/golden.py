@@ -194,34 +194,51 @@ def _build(out_dir: str) -> None:
         }
     )
 
+    # write into out_dir (the caller's private build dir — ensure_golden
+    # renames it into place atomically), NOT golden_path's final dir
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(
         pa.Table.from_pylist(span_rows, schema=spans_schema),
-        golden_path("extract_spans"),
+        os.path.join(out_dir, "extract_spans.parquet"),
     )
     pq.write_table(
         pa.Table.from_pandas(pdf_meta_frame(media_pdf), preserve_index=False),
-        golden_path("pdf_metadata"),
+        os.path.join(out_dir, "pdf_metadata.parquet"),
     )
     stats = pd.concat(list(image_stats_udf(iter([media_pdf]))), ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(stats, preserve_index=False),
-        golden_path("image_stats"),
+        os.path.join(out_dir, "image_stats.parquet"),
     )
     pq.write_table(
         pa.Table.from_pandas(quality_frame(media_pdf), preserve_index=False),
-        golden_path("quality"),
+        os.path.join(out_dir, "quality.parquet"),
     )
 
 
 def ensure_golden() -> str:
-    """Idempotently build the golden tables; returns their directory."""
+    """Idempotently build the golden tables; returns their directory.
+
+    Concurrency-safe: builds into a process-private temp dir and
+    os.rename()s it into place (atomic on one filesystem), so two
+    processes racing here (pytest-xdist workers, bench + driver gate)
+    can never observe a half-written parquet — one rename wins, the
+    loser discards its build."""
     d = golden_dir()
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
-        _build(d)
-        with open(marker, "w") as f:
+        tmp = f"{d}.build.{os.getpid()}"
+        _build(tmp)
+        with open(os.path.join(tmp, "_done"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # a concurrent builder renamed first; its tables are
+            # byte-identical (deterministic build) — keep theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
