@@ -19,9 +19,19 @@ from pyspark.sql import functions as F
 from ocr_spark.textproc.boilerplate import STOPWORDS
 
 _PUNCT_CLASS = "[.,;:!?\"'()]"
-_LINK_PATTERN = "https?://|(^|\\W)www\\."
-_COPYRIGHT_PATTERN = "(?i)^\\s*(©|\\(c\\)|copyright\\b)"
-_ENDS_SENTENCE_PATTERN = "[.!?]\\s*$"
+# Character-class parity with the Python classifier: Java regexes are
+# ASCII-classed by default (\s misses U+00A0, \W misses non-ASCII word
+# chars), while Python's str regexes are Unicode-aware — without (?U) a
+# block containing a non-breaking space tokenizes differently and the
+# two classifiers DISAGREE (span-sequence equality break). (?U) turns on
+# UNICODE_CHARACTER_CLASS; _WS additionally covers \x1c-\x1f (the ASCII
+# separator controls), which Python's \s / str.strip() treat as
+# whitespace but Unicode White_Space does not.
+_WS = "(?:\\s|[\\x1c-\\x1f])"
+_LINK_PATTERN = "(?U)https?://|(^|\\W)www\\."
+_COPYRIGHT_PATTERN = f"(?iU)^{_WS}*(©|\\(c\\)|copyright\\b)"
+_ENDS_SENTENCE_PATTERN = f"(?U)[.!?]{_WS}*$"
+_BLANK_PATTERN = f"(?U)^{_WS}*$"
 
 def _stopwords_arr() -> Column:
     """Frozen 50-word stopword list as a literal array — part of the plan
@@ -31,7 +41,7 @@ def _stopwords_arr() -> Column:
 
 def words_col(block: Column) -> Column:
     """Non-empty whitespace-separated tokens (re.findall(r'\\S+', b))."""
-    return F.filter(F.split(block, "\\s+"), lambda w: w != F.lit(""))
+    return F.filter(F.split(block, f"(?U){_WS}+"), lambda w: w != F.lit(""))
 
 
 def _norm_word(w: Column) -> Column:
@@ -82,6 +92,6 @@ def main_content_col(text: Column) -> Column:
     blocks = F.split(F.coalesce(text, F.lit("")), "\n\n")
     kept = F.filter(
         blocks,
-        lambda b: (~b.rlike("^\\s*$")) & (~is_boilerplate_col(b)),
+        lambda b: (~b.rlike(_BLANK_PATTERN)) & (~is_boilerplate_col(b)),
     )
     return F.array_join(kept, "\n\n")

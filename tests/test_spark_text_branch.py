@@ -50,3 +50,30 @@ def test_catalyst_matches_python(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == extract_main_content(c), repr(c)
+
+
+def test_text_branch_matches_python_on_unicode_whitespace(spark):
+    """Java regexes are ASCII-classed by default: without (?U) a block
+    containing a non-breaking space tokenizes differently in Catalyst
+    than in the Python classifier and the branch DROPS a block the
+    oracle keeps. Covers NBSP, ideographic space, NEL, and the \\x1c-1f
+    separator controls Python treats as whitespace."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.spark.text_branch import main_content_col
+    from ocr_spark.textproc.boilerplate import extract_main_content
+
+    cases = [
+        "this is\u00a0a test ok yes",  # NBSP inside a would-be B3 block
+        "the\u3000and of to in it is was for on end.",
+        "word\x1cthe list\x1d it of end here done ok.",
+        "linkline www.example.com the\u00a0and of it",
+        " \u00a0\x85\n\nreal block that ends properly.",
+        "\u00a9\u00a02026 someone",
+        "caf\u00e9 r\u00e9sum\u00e9 na\u00efve block it the done.",
+        "short\u00a0nbsp",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r[0] for r in df.select(main_content_col(F.col("text"))).collect()]
+    for c, g in zip(cases, got):
+        assert g == extract_main_content(c), repr(c)
