@@ -187,6 +187,16 @@ def process_document(
             }
         )
 
+    # Canonical OUTPUT order: the total order over the emitted struct
+    # (offset, kind, text, media_ref) — exactly what the distributed
+    # reassembly's array_sort applies. Python's stable input sort alone
+    # would keep INPUT order for duplicate offsets, an order an
+    # unordered groupBy cannot observe, silently breaking span-sequence
+    # equality on malformed docs that reuse an offset. A no-op when
+    # offsets are unique (the well-formed case). UTF-8 byte order ==
+    # code-point order, so Python str comparison matches Spark's binary
+    # string ordering.
+    out.sort(key=lambda s: (s["offset"], s["kind"], s["text"], s["media_ref"]))
     metrics = {
         "n_spans": len(out),
         "n_media": n_media,

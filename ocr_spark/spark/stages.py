@@ -334,7 +334,13 @@ def make_merge_group(profile: EngineProfile):
             "page_idx": [head["page_idx"]],
             "n_pages": [head["n_pages"]],
         }
-        real = pdf[(pdf["row"] >= 0) & (~pdf["skipped"])]
+        # (row, col) order: the shuffle delivers group rows in arrival
+        # order, but the oracle averages chunk confidences in split
+        # (row-major) order — float means are order-sensitive in the
+        # last ulp, and reruns must be bit-reproducible
+        real = pdf[(pdf["row"] >= 0) & (~pdf["skipped"])].sort_values(
+            ["row", "col"]
+        )
         if len(real) == 0:
             return pd.DataFrame(
                 {

@@ -339,3 +339,110 @@ def test_staged_png_chunk_codec_matches_oracle(spark, corpus_dir, oracle_extract
     )
     rows = {r["doc_id"]: r for r in out.collect()}
     assert_equals_oracle(rows, oracle_extracted)
+
+
+def _write_tiny_corpus(tmp_path, docs_rows, media_rows, heavy_vals=None):
+    """Unpartitioned documents/media parquet; heavy_vals adds a nullable
+    `heavy` column (the user-supplied-table shape, not our ingest's)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            docs_rows,
+            schema=pa.schema([("doc_id", pa.string()), ("spans", pa.list_(span_t))]),
+        ),
+        str(d / "documents.parquet"),
+    )
+    media_schema = [
+        ("media_ref", pa.string()),
+        ("png", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+    if heavy_vals is not None:
+        media_rows = [
+            {**m, "heavy": h} for m, h in zip(media_rows, heavy_vals)
+        ]
+        media_schema.append(("heavy", pa.int32()))
+    pq.write_table(
+        pa.Table.from_pylist(media_rows, schema=pa.schema(media_schema)),
+        str(d / "media.parquet"),
+    )
+    return str(d)
+
+
+def test_duplicate_offsets_match_oracle(spark, tmp_path):
+    """Two spans sharing an offset (malformed but representable input):
+    the oracle's canonical output order must equal the reassembly's
+    array_sort order — a stable offset-only sort would keep an input
+    order the unordered groupBy cannot observe."""
+    from ocr_spark.core import process_document
+    from ocr_spark.extract.glyph import render_page
+    from ocr_spark.imaging.png import encode_png
+
+    page = render_page(["dup offset page"], 400, 200)
+    png = encode_png(page)
+    spans = [
+        {"kind": "text", "text": "zz this is a kept sentence ok.", "media_ref": "", "offset": 5},
+        {"kind": "media", "text": "", "media_ref": "m1", "offset": 5},
+        {"kind": "text", "text": "aa also kept sentence here ok.", "media_ref": "", "offset": 5},
+    ]
+    cdir = _write_tiny_corpus(
+        tmp_path,
+        [{"doc_id": "dup1", "spans": spans}],
+        [{"media_ref": "m1", "png": png, "width": 400, "height": 200}],
+    )
+    docs, media = read_corpus(spark, cdir)
+    want, _ = process_document("dup1", spans, {"m1": png}.get, "got")
+    for mode in ("fused", "staged"):
+        out = run_pipeline(
+            spark, docs, media, mode=mode, run_id=f"dup-{mode}", span_partitions=4
+        ).collect()
+        got = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+             "offset": s["offset"]}
+            for s in out[0]["spans"]
+        ]
+        assert got == want, mode
+
+
+def test_hybrid_null_heavy_routes_fused_not_dropped(spark, tmp_path):
+    """A user-supplied media table with NULL in `heavy`: the span must
+    come out of the hybrid plan (routed fused), not vanish between the
+    heavy==0 / heavy==1 / anti-join branches."""
+    from ocr_spark.core import process_document
+    from ocr_spark.extract.glyph import render_page
+    from ocr_spark.imaging.png import encode_png
+
+    png = encode_png(render_page(["null heavy page"], 400, 200))
+    spans = [{"kind": "media", "text": "", "media_ref": "m1", "offset": 0}]
+    cdir = _write_tiny_corpus(
+        tmp_path,
+        [{"doc_id": "nh1", "spans": spans}],
+        [{"media_ref": "m1", "png": png, "width": 400, "height": 200}],
+        heavy_vals=[None],
+    )
+    docs, media = read_corpus(spark, cdir)
+    assert "heavy" in media.columns
+    out = run_pipeline(
+        spark, docs, media, mode="hybrid", run_id="nullheavy", span_partitions=4
+    ).collect()
+    assert len(out) == 1
+    want, _ = process_document("nh1", spans, {"m1": png}.get, "got")
+    got = [
+        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+         "offset": s["offset"]}
+        for s in out[0]["spans"]
+    ]
+    assert got == want
