@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.config import EngineProfile, get_profile
+from ocr_spark.core import PAGE_MARKER
 from ocr_spark.spark import schemas as S
 from ocr_spark.spark.stages import (
     make_extract_stage,
@@ -200,17 +201,22 @@ def _media_branch_staged(
         F.max(F.col("skipped").cast("int")).alias("any_skipped"),
     )
     real = F.filter(F.col("pages"), lambda p: p["page_idx"] >= 0)
+    # marker pieces derive from core.PAGE_MARKER (the oracle's format),
+    # so an edit to the shared constant cannot silently desync the
+    # Catalyst fan-in from the single-process reference
+    _pre, _rest = PAGE_MARKER.split("{i}")
+    _mid, _post = _rest.split("{n}")
     page_text = F.when(
         F.col("kind") == "pdf",
         F.array_join(
             F.transform(
                 real,
                 lambda p: F.concat(
-                    F.lit("=== Page "),
+                    F.lit(_pre),
                     (p["page_idx"] + 1).cast("string"),
-                    F.lit(" of "),
+                    F.lit(_mid),
                     p["n_pages"].cast("string"),
-                    F.lit(" ===\n"),
+                    F.lit(_post + "\n"),
                     p["text"],
                 ),
             ),
@@ -282,6 +288,14 @@ def media_is_heavy(png: bytes | None, width: int, height: int) -> bool:
         n_pages = int.from_bytes(png[6:10], "big")
         if n_pages >= PDF_STAGED_MIN_PAGES or len(png) > PDF_STAGED_MIN_BYTES:
             return True
+    elif png is not None and png[:5] == b"%PDF-":
+        # real-PDF payloads: the size test must run here too, or a
+        # multi-MB %PDF straggler classifies heavy=0 at ingest while the
+        # content-routed predicate sends it staged — the twin would stop
+        # being a twin. (Page count needs a full header walk — the size
+        # bound alone catches the stragglers the fan-out exists for.)
+        if len(png) > PDF_STAGED_MIN_BYTES:
+            return True
     w, h = int(width or 0), int(height or 0)
     return w * h > IMG_STAGED_MIN_PIXELS or max(w, h) > IMG_STAGED_MAX_DIM
 
@@ -349,9 +363,15 @@ def _media_branch_hybrid_pruned(
     structural extra scan is gone, so hybrid ~= fused on corpora with no
     stragglers while keeping the fan-out where it pays."""
     spans_m = media_spans.filter(F.col("kind").isin(*MEDIA_KINDS))
+    # NULL-inclusive light filter: a user-supplied media table may carry
+    # NULL in `heavy` (our ingest never does — it's a partition column).
+    # Plain heavy==0 and heavy==1 would BOTH drop such rows, and the
+    # anti-join can't catch them (the ref exists) — the span would vanish
+    # from the output. isNull on a partition column is still a partition
+    # filter, so the pruned layout pays nothing for the disjunct.
     light_in = _media_input(
         spans_m,
-        media_df.filter(F.col("heavy") == 0),
+        media_df.filter((F.col("heavy") == 0) | F.col("heavy").isNull()),
         broadcast_media,
         span_partitions,
         max_payload_bytes,
