@@ -261,7 +261,10 @@ def split_projection(img: np.ndarray, cfg: SplitConfig) -> SplitOutcome:
 
 
 def projection_can_split(img: np.ndarray, cfg: SplitConfig) -> bool:
-    """can_split: any detected gap (projection.py:37-51)."""
+    """can_split: any detected gap (projection.py:37-51). Not used by
+    smart_split (which fuses the gate into split_projection's
+    was_split — see its docstring); retained as the explicit spec of
+    that gate and for callers mirroring the reference's two-step API."""
     if not needs_splitting(img.shape, cfg):
         return False
     layout = analyze_layout(img, cfg)
@@ -351,7 +354,9 @@ def split_components(img: np.ndarray, cfg: SplitConfig) -> SplitOutcome:
 
 
 def components_can_split(img: np.ndarray, cfg: SplitConfig) -> bool:
-    """can_split: some valid non-intersecting line exists (components.py:74-96)."""
+    """can_split: some valid non-intersecting line exists
+    (components.py:74-96). Like projection_can_split, retained as the
+    spec of the gate smart_split fuses into split_components."""
     if not needs_splitting(img.shape, cfg):
         return False
     regions = _detect_text_regions(img)
@@ -451,17 +456,23 @@ def split_grid(img: np.ndarray, cfg: SplitConfig) -> SplitOutcome:
 
 
 def smart_split(img: np.ndarray, cfg: SplitConfig) -> SplitOutcome:
-    """Cheapest-first strategy cascade (splitter.py:50-76)."""
+    """Cheapest-first strategy cascade (splitter.py:50-76).
+
+    The reference gates each splitter behind its can_split; here the
+    splitters are called directly and was_split is the gate — each
+    split_* returns a single-chunk outcome in exactly the cases its
+    can_split would return False (same layout analysis, same split
+    candidates), so the cascade semantics are identical while the
+    expensive analysis (Otsu + projections; Otsu + dilate x2 + CC)
+    runs ONCE per strategy instead of twice on every splitting page."""
     if not cfg.enabled or not needs_splitting(img.shape, cfg):
         return _single_chunk(img)
-    if projection_can_split(img, cfg):
-        out = split_projection(img, cfg)
-        if out.was_split:
-            return out
-    if components_can_split(img, cfg):
-        out = split_components(img, cfg)
-        if out.was_split:
-            return out
+    out = split_projection(img, cfg)
+    if out.was_split:
+        return out
+    out = split_components(img, cfg)
+    if out.was_split:
+        return out
     out = split_grid(img, cfg)
     if out.was_split:
         return out
