@@ -55,11 +55,8 @@ def _extract_query(mode: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleave sf0.001 document texts with fixture media and
     run the full extraction pipeline; returns the extracted spans."""
-    from ocr_spark.spark.corpus import read_corpus
+    from ocr_spark.spark.corpus import fixture_corpus_dir, read_corpus
     from ocr_spark.spark.pipeline import run_pipeline
-    from ocr_spark.spark.schemas import MEDIA_SCHEMA
-
-    from ocr_spark.spark.corpus import fixture_corpus_dir
 
     sf_dir = "/root/testdata/sf0.001"
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -5,7 +5,8 @@
     spark-submit --py-files engine.zip job.py \
         --input <documents parquet/iceberg path> \
         --media <media parquet/iceberg path> \
-        --out <output dir> --run-id r1 [--buckets 64] [--mode fused|staged]
+        --out <output dir> --run-id r1 [--buckets 64]
+        [--mode fused|staged|hybrid]
         [--profile default|got|deepseek|qari] [--resume-only]
 
 Resumable: re-running with the same --out skips buckets whose manifest
