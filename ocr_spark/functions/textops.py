@@ -423,6 +423,234 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# repetition filters (Gopher-style; Rae et al. 2021, table A1)
+# --------------------------------------------------------------------------
+
+# Per-document repetition signals used to drop boilerplate-heavy /
+# degenerate pages from a training corpus:
+# * dup_line_frac        — fraction of line occurrences repeating an
+#                          earlier line of the same doc
+# * dup_line_char_frac   — fraction of line characters inside those
+#                          repeated occurrences
+# * dup_word_frac        — fraction of word occurrences repeating an
+#                          earlier word
+# * top{2,3}gram_char_frac — chars covered by the most frequent word
+#                          2-/3-gram (count x gram length incl. the
+#                          joining spaces, over length(text)); ties
+#                          break to the lexicographically smallest gram
+# All are map-side per-row expressions: one scan of `documents`, no
+# shuffle, no Python. The n-gram mode is found by sorting the per-doc
+# gram array and folding a run-length max over it — O(L log L) per doc,
+# so the operator's cost stays linear in corpus size at 100 TB.
+
+
+def _word_ngrams(words, n: int):
+    """Array of space-joined word n-grams (empty when < n words) as a
+    per-row expression — no explode, no shuffle."""
+    seq_end = F.size(words) - (n - 1)
+    return F.when(
+        seq_end >= 1,
+        F.transform(
+            F.sequence(F.lit(1), seq_end),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + F.lit(j)).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_struct(words, n: int):
+    """(best_count, gram) of the most frequent word n-gram via
+    array_sort + a single run-length fold (no per-doc groupBy)."""
+    grams = _word_ngrams(words, n)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, g):
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        hit = run2 > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.when(hit, run2).otherwise(acc["best"]).alias("best"),
+            F.when(hit, g).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: l != F.lit(""))
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    n_dlines = F.size(dlines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dline_chars = F.aggregate(dlines, F.lit(0), lambda a, x: a + F.length(x))
+    words = _ws_tokens(F.lower(F.col("text")))
+    n_words = F.size(words)
+    n_dwords = F.size(F.array_distinct(words))
+    n_chars = F.length("text")
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num / den.cast("double")).otherwise(0.0), 6
+        )
+
+    top2 = _top_gram_struct(words, 2)
+    top3 = _top_gram_struct(words, 3)
+
+    def gram_frac(top):
+        return F.round(
+            F.when(
+                (top["best"] > 0) & (n_chars > 0),
+                top["best"] * F.length(top["bg"]) / n_chars.cast("double"),
+            ).otherwise(0.0),
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(n_lines - n_dlines, n_lines).alias("dup_line_frac"),
+        frac(line_chars - dline_chars, line_chars).alias("dup_line_char_frac"),
+        n_words.alias("n_words"),
+        frac(n_words - n_dwords, n_words).alias("dup_word_frac"),
+        F.when(top2["best"] > 0, top2["bg"]).alias("top_2gram"),
+        gram_frac(top2).alias("top2gram_char_frac"),
+        gram_frac(top3).alias("top3gram_char_frac"),
+    )
+
+
+SQL_REPETITION = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dline_chars,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_dwords,
+         ws
+  FROM base
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM m WHERE len(ws) >= 2
+), t2 AS (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g2 GROUP BY doc_id, gram
+), g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+  FROM m WHERE len(ws) >= 3
+), t3 AS (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g3 GROUP BY doc_id, gram
+)
+SELECT m.doc_id,
+       CAST(m.n_lines AS INT) AS n_lines,
+       round(CASE WHEN m.n_lines > 0
+                  THEN (m.n_lines - m.n_dlines) / CAST(m.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN m.line_chars > 0
+                  THEN (m.line_chars - m.dline_chars) / CAST(m.line_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       CAST(m.n_words AS INT) AS n_words,
+       round(CASE WHEN m.n_words > 0
+                  THEN (m.n_words - m.n_dwords) / CAST(m.n_words AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       t2.gram AS top_2gram,
+       round(coalesce(t2.c * length(t2.gram) / CAST(nullif(length(m.text), 0) AS DOUBLE), 0.0), 6)
+         AS top2gram_char_frac,
+       round(coalesce(t3.c * length(t3.gram) / CAST(nullif(length(m.text), 0) AS DOUBLE), 0.0), 6)
+         AS top3gram_char_frac
+FROM m
+LEFT JOIN (SELECT doc_id, gram, c FROM t2 WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, gram, c FROM t3 WHERE rn = 1) t3 USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+
+# Training-corpus decontamination (GPT-3 appendix C / PaLM style): flag
+# every training document sharing a word n-gram with the held-out
+# benchmark set. The benchmark here is the deterministic slice
+# doc_id % DECON_MOD == 0 of the same table; production swaps in the
+# real eval-set text. n=3 suits the fixture's small vocabulary —
+# production uses 8-13-grams.
+#
+# 100 TB shape: the benchmark gram set is small by construction
+# (benchmarks are), so it broadcasts; the corpus side explodes its
+# distinct grams map-side into a broadcast-hash join, and only MATCHED
+# rows reach the per-doc count shuffle. The corpus text is scanned
+# once per side-membership (benchmark slice + training slice).
+DECON_N = 3
+DECON_MOD = 50
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _ws_tokens(F.lower(F.col("text")))
+    grams = F.array_distinct(_word_ngrams(words, DECON_N))
+    is_bench = (F.col("doc_id") % DECON_MOD) == 0
+    bench_grams = (
+        docs.where(is_bench)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = docs.where(~is_bench).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("hit_grams"))
+    )
+
+
+def _decon_gram_sql() -> str:
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_N))
+    return (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, len(ws) - {DECON_N - 2}), i -> {parts})))"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, {_decon_gram_sql()} AS gram
+  FROM w WHERE len(ws) >= {DECON_N}
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0
+), t AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % {DECON_MOD} != 0
+)
+SELECT doc_id, CAST(count(*) AS INT) AS hit_grams
+FROM t JOIN b USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -431,4 +659,6 @@ QUERIES = {
     "text_boilerplate": QuerySpec(q_boilerplate, _boilerplate_sql()),
     "sample_stratified": QuerySpec(q_sample_stratified, _sample_sql()),
     "vocab_top_terms": QuerySpec(q_vocab_top_terms, _vocab_sql()),
+    "text_repetition": QuerySpec(q_repetition, SQL_REPETITION),
+    "decontaminate_ngram_overlap": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
 }

@@ -67,6 +67,55 @@ def test_simhash_band_cap_bounds_degenerate_cluster(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_repetition_line_metrics_on_crafted_corpus(spark, tmp_path):
+    """The fixture corpus has no newlines, so the Gopher-style line
+    metrics are only exercised here: duplicated lines, empty docs,
+    single-word docs, and the top-2-gram tie-break (lexicographically
+    smallest among max-count grams) — plus oracle parity on the same
+    crafted table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.textops import QUERIES
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta\nalpha beta\ngamma\n\nalpha beta"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "word"},
+        {"doc_id": 4, "text": "b b b a a a"},
+        {"doc_id": 5, "text": "x y x y x y"},
+    ]
+    d = tmp_path / "sf_rep"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["text_repetition"]
+    got = {r["doc_id"]: r.asDict() for r in spec.fn(spark, str(d)).collect()}
+
+    r1 = got[1]  # lines: [alpha beta, alpha beta, gamma, alpha beta]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == round(2 / 4, 6)
+    assert r1["dup_line_char_frac"] == round((35 - 15) / 35, 6)
+
+    r2 = got[2]  # empty text: no lines, no words, null top gram
+    assert r2["n_lines"] == 0 and r2["n_words"] == 0
+    assert r2["dup_line_frac"] == 0.0 and r2["top_2gram"] is None
+    assert r2["top2gram_char_frac"] == 0.0
+
+    r3 = got[3]  # single word: no 2-grams
+    assert r3["n_words"] == 1 and r3["top_2gram"] is None
+
+    # tie: "a a" and "b b" both occur twice -> smallest gram wins
+    assert got[4]["top_2gram"] == "a a"
+
+    r5 = got[5]  # "x y" x3 over 11 chars
+    assert r5["top_2gram"] == "x y"
+    assert r5["top2gram_char_frac"] == round(3 * 3 / 11, 6)
+
+    r = compare_query(spark, str(d), "text_repetition", spec)
+    assert r["ok"], r["detail"]
+
+
 def test_jaccard_block_guard_is_subquadratic(spark, tmp_path):
     """One oversized same-length block (VERDICT r2 #4): candidate pairs
     touching a big block must pass the minhash band prefilter, so a

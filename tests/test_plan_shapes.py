@@ -227,3 +227,28 @@ def test_jaccard_pair_generation_never_reads_text(spark):
     assert 2 <= len(text_scans) <= 4, plan
     # pair generation exists and is text-free
     assert keyed_scans, plan
+
+
+def test_repetition_is_single_scan_no_shuffle(spark):
+    """text_repetition is pure per-row expression work: exactly one
+    documents scan and ZERO Exchanges — the shape that stays linear and
+    shuffle-free at 100 TB."""
+    import re
+
+    from ocr_spark.functions.textops import q_repetition
+
+    plan = _plan(q_repetition(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 0, plan
+    schemas = re.findall(r"ReadSchema: struct<[^\n]*", plan)
+    assert len(schemas) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """decontaminate_ngram_overlap must join the corpus's exploded
+    grams against the benchmark gram set via BROADCAST hash join —
+    never a sort-merge join that would shuffle every corpus gram."""
+    from ocr_spark.functions.textops import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
