@@ -186,6 +186,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_clusters",
         "sample_stratified",
         "vocab_top_terms",
+        "text_repetition",
+        "decontaminate_ngram_overlap",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
