@@ -1046,6 +1046,130 @@ FROM rep
 """
 
 
+# --------------------------------------------------------------------------
+# exact substring dedup (duplicated-run coverage)
+# --------------------------------------------------------------------------
+
+# Restatement of exact substring deduplication (Lee et al., ACL 2022,
+# "Deduplicating Training Data Makes Language Models Better"): flag the
+# token ranges of each document covered by a K-token run that appears
+# verbatim in at least one OTHER document (within-doc repetition is
+# text_repetition's job). The reference algorithm builds a corpus
+# suffix array; the distributed restatement shards by K-token shingle
+# hash instead: every window keyed by md5(gram) — the corpus-wide
+# groupBy on that key IS the substring-dedup shuffle, exactly where the
+# suffix-array merge pays it. Shuffles carry (hash, doc_id, pos) only;
+# coverage is a lead()-window union of fixed-K intervals, and the
+# per-doc fraction joins back onto id-frames. Lee et al. use 50 BPE
+# tokens; K=8 words gives the same long-verbatim-run semantics at
+# fixture document lengths.
+#
+# Deliberate trade: dup-gram membership is resolved by a groupBy + a
+# join BACK onto the shingle stream (re-deriving it — text is scanned
+# 3x, column-pruned) instead of one groupBy with collect_list of
+# occurrences. The collect shape would scan once but builds a per-gram
+# in-memory list — and at corpus scale the hot grams (boilerplate
+# headers, licence blocks) are exactly the ones with millions of
+# occurrences. Re-scanning text costs ~1/8 of materializing the
+# exploded stream and has no skew failure mode.
+SUBSTR_K = 8
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # ws materialized in its own projection: Spark has no CSE across
+    # higher-order-function boundaries (see textops.q_decontaminate)
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _tokens_col().alias("ws"))
+        .select("doc_id", F.size("ws").alias("n_words"), "ws")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_words") - (SUBSTR_K - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(SUBSTR_K)]
+            ).cast("binary")
+        ),
+    )
+    sh = (
+        base.where(F.col("n_words") >= SUBSTR_K)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gkey"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gkey")
+    )
+    dup = (
+        sh.groupBy("gkey")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gkey")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(SUBSTR_K),
+        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(SUBSTR_K)),
+    )
+    per_doc = (
+        sh.join(dup, "gkey")
+        .select("doc_id", "pos")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("int").alias("dup_tokens"))
+    )
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0))
+    return (
+        base.select("doc_id", "n_words")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            dup_tokens.alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    dup_tokens / F.col("n_words").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH b AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS n_words, {_TOKENS_SQL} AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, n_words - {SUBSTR_K} + 2),
+           i -> {{'pos': i,
+                  'gkey': md5(list_aggregate(ws[i:i + {SUBSTR_K} - 1],
+                                             'string_agg', ' '))}})) AS u
+  FROM b
+), s AS (
+  SELECT doc_id, u.pos AS pos, u.gkey AS gkey FROM g
+), d AS (
+  SELECT gkey FROM s GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2
+), c AS (
+  SELECT doc_id,
+         least({SUBSTR_K},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                        {SUBSTR_K})) AS contrib
+  FROM s JOIN d USING (gkey)
+), p AS (
+  SELECT doc_id, CAST(sum(contrib) AS INT) AS dup_tokens FROM c GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(CASE WHEN b.n_words > 0
+                  THEN coalesce(p.dup_tokens, 0) / CAST(b.n_words AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_token_frac
+FROM b LEFT JOIN p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1054,4 +1178,5 @@ QUERIES = {
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, _embedding_dup_sql()),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _dedup_clusters_sql()),
+    "dedup_substring": QuerySpec(q_dedup_substring, SQL_DEDUP_SUBSTRING),
 }

@@ -252,3 +252,19 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = _plan(q_decontaminate(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_dedup_shuffles_ids_only(spark):
+    """dedup_substring's Exchanges must carry (gkey, doc_id, pos)-shaped
+    rows only — never the token array or the text column. At 100 TB the
+    gram groupBy IS the substring-dedup shuffle; text may be read by
+    the (column-pruned) scans but must not ride a shuffle."""
+    import re
+
+    from ocr_spark.functions.dedup import q_dedup_substring
+
+    plan = _plan(q_dedup_substring(spark, "/root/testdata/sf0.001"))
+    exchanges = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchanges, plan
+    for cols in exchanges:
+        assert "ws" not in cols and "text" not in cols, cols
