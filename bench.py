@@ -179,6 +179,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "text_boilerplate",
         "text_token_stats",
         "dedup_exact",
+        "dedup_exact_stream",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",

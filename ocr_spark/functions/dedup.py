@@ -97,13 +97,23 @@ _SHINGLES_SQL = f"""list_distinct(
 # --------------------------------------------------------------------------
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    norm_hash = F.md5(
+def norm_hash_col() -> "F.Column":
+    """Normalized-content hash shared by batch dedup_exact, the Jaccard
+    blocker, and the Structured Streaming dedup twin — one definition so
+    a backfill batch job and the live stream can never disagree on what
+    counts as a duplicate."""
+    return F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).cast("binary")
     )
+
+
+NORM_HASH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
     return (
-        docs.groupBy(norm_hash.alias("norm_hash"))
+        docs.groupBy(norm_hash_col().alias("norm_hash"))
         .agg(
             F.count("*").cast("long").alias("dup_count"),
             F.min("doc_id").alias("canonical_doc"),
@@ -111,12 +121,66 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_EXACT = """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+SQL_DEDUP_EXACT = f"""
+SELECT {NORM_HASH_SQL} AS norm_hash,
        count(*) AS dup_count,
        min(doc_id) AS canonical_doc
 FROM documents
 GROUP BY 1
+"""
+
+
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of dedup_exact, driver-gated: run the
+    documents table through ``readStream`` -> watermarked
+    ``dropDuplicatesWithinWatermark`` (keyed state holds one entry per
+    distinct hash inside the horizon, so state is bounded at the
+    100 TB/day design point) with ``trigger(availableNow)``, then read
+    the sink back. Survivor set = one row per distinct normalized hash,
+    which is exactly ``SELECT DISTINCT`` — so the stream's keep-decision
+    is hash-checked against the same DuckDB oracle family as the batch
+    operator. Event time is synthesized from doc_id (the driver tables
+    carry no timestamp); the kept doc_id per hash is batch-order
+    arbitrary, so only the deterministic hash column is returned."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_stream_dedup_")
+    # the file stream source lists a DIRECTORY; testdata ships a single
+    # parquet file, so expose it through a symlink (read-only input)
+    os.mkdir(f"{tmp}/in")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        f"{tmp}/in/documents.parquet",
+    )
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(f"{tmp}/in")
+        # +1 day: the state store's initial watermark is epoch 0, and a
+        # row whose event time IS the watermark is dropped as expired —
+        # doc_id 0 would silently vanish if the clock started at epoch
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400)))
+        .withWatermark("ts", "30 minutes")
+        .withColumn("norm_hash", norm_hash_col())
+        .dropDuplicatesWithinWatermark(["norm_hash"])
+        .select("norm_hash")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select("norm_hash").distinct()
+
+
+SQL_DEDUP_EXACT_STREAM = f"""
+SELECT DISTINCT {NORM_HASH_SQL} AS norm_hash
+FROM documents
 """
 
 
@@ -1172,6 +1236,7 @@ FROM b LEFT JOIN p USING (doc_id)
 
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_stream": QuerySpec(q_dedup_exact_stream, SQL_DEDUP_EXACT_STREAM),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _minhash_sql()),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),

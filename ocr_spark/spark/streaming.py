@@ -125,6 +125,53 @@ def stream_windowed_rollup(
     return writer.start()
 
 
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming twin of dedup_exact (functions/dedup.py): emit only the
+    FIRST arrival of each normalized-content hash; re-arrivals within
+    the watermark horizon are dropped by keyed state
+    (dropDuplicatesWithinWatermark), and the watermark BOUNDS that
+    state — the key store holds one entry per distinct hash seen within
+    the horizon, never one per stream row, so it cannot grow with
+    stream length at the 100 TB/day design point. Same normalization
+    (lower, whitespace-collapse, trim, md5) as the batch operator — the
+    expression is literally shared (functions.dedup.norm_hash_col) so a
+    backfill batch job and the live stream agree on what is a dup."""
+    from ocr_spark.functions.dedup import norm_hash_col
+
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(input_dir)
+    keyed = (
+        stream.withWatermark("ts", watermark)
+        .withColumn("norm_hash", norm_hash_col())
+        .dropDuplicatesWithinWatermark(["norm_hash"])
+        .select("doc_id", "ts", "norm_hash")
+    )
+    writer = (
+        keyed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator: gap sessionization with applyInPandasWithState
 # --------------------------------------------------------------------------

@@ -265,3 +265,66 @@ def test_sessionize_state_fn_skips_null_timestamps():
     assert _run_state_fn(fn, state, [pd.NaT, t0, None]) is None
     start_us, last_us, n = state.get
     assert n == 1 and start_us == int(t0.timestamp() * 1e6)
+
+
+def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed state: an in-batch duplicate
+    (same text, different whitespace) emits once, and a re-arrival in a
+    LATER micro-batch is dropped by the carried key state — so the
+    stream's survivors match what the batch dedup_exact would keep."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.spark.streaming import stream_dedup_exact
+
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+
+    def write(name, rows):
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": i, "ts": ts, "text": tx}
+                for i, ts, tx in rows
+            ]
+        )
+        pq.write_table(tbl, os.path.join(in_dir, name))
+
+    # batch 1: docs 1 and 3 normalize to the same content
+    write(
+        "b1.parquet",
+        [
+            (1, t0, "Alpha  beta gamma"),
+            (2, t0 + sec, "delta epsilon"),
+            (3, t0 + 2 * sec, " alpha beta   GAMMA "),
+        ],
+    )
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(600)
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) == 2, first  # one survivor per distinct hash
+    hashes1 = {r["norm_hash"] for r in first}
+    assert len(hashes1) == 2
+
+    # batch 2: doc 4 re-sends doc-1 content (cross-batch dup -> state
+    # drops it); doc 5 is new
+    write(
+        "b2.parquet",
+        [
+            (4, t0 + 10 * sec, "alpha beta gamma"),
+            (5, t0 + 11 * sec, "zeta eta"),
+        ],
+    )
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(600)
+    allrows = spark.read.parquet(out_dir).collect()
+    assert len(allrows) == 3, allrows
+    new = [r for r in allrows if r["norm_hash"] not in hashes1]
+    assert len(new) == 1 and new[0]["doc_id"] == 5, allrows
