@@ -190,6 +190,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "vocab_top_terms",
         "text_repetition",
         "decontaminate_ngram_overlap",
+        "pack_sequences",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",

@@ -667,6 +667,74 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk training packs)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per training sequence
+PACK_SHARDS = 8  # independent packing lanes (oracle-deterministic constant)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per shard, documents are concatenated
+    in doc_id order and chunked into PACK_BUDGET-token training
+    sequences; each doc is assigned the pack where it STARTS (docs may
+    cross pack boundaries — concat-and-chunk semantics, no padding
+    waste). Returns the doc -> (shard, pack_id, offset_in_pack) map a
+    writer needs to emit packed training files.
+
+    Scale: packing is per-shard — ONE shuffle on the shard key, then a
+    linear window pass per shard (running sum, no global sort anywhere).
+    At 100 TB, shards are sized O(corpus / packed-output-file), so each
+    window spans one output file's worth of docs; PACK_SHARDS is small
+    here only so the oracle stays deterministic at test scale."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_excl", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"),
+            (F.col("cum_excl") % PACK_BUDGET).alias("offset_in_pack"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_excl
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -677,4 +745,5 @@ QUERIES = {
     "vocab_top_terms": QuerySpec(q_vocab_top_terms, _vocab_sql()),
     "text_repetition": QuerySpec(q_repetition, SQL_REPETITION),
     "decontaminate_ngram_overlap": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
 }

@@ -585,3 +585,36 @@ def test_connected_components_raises_on_non_convergence(spark):
         for r in connected_components(labels, sym, ckpt, max_iters=10).collect()
     }
     assert out == {i: 1 for i in range(1, 9)}
+
+
+def test_pack_sequences_boundary_crossing(spark, tmp_path):
+    """Concat-and-chunk semantics: a doc that straddles a pack boundary
+    belongs to the pack where it STARTS; empty docs consume no budget.
+    Crafted single-shard corpus with known token counts, plus oracle
+    parity on the same table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.compare import compare_query
+    from ocr_spark.functions.textops import PACK_BUDGET, PACK_SHARDS, QUERIES
+
+    assert PACK_BUDGET == 512  # expectations below are for this budget
+    rows = [
+        {"doc_id": i * PACK_SHARDS, "text": " ".join(["w"] * n)}
+        for i, n in enumerate([300, 0, 300, 300])
+    ]
+    d = tmp_path / "sf_pack"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["pack_sequences"]
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+        for r in spec.fn(spark, str(d)).collect()
+    }
+    assert got[0] == (0, 300, 0, 0)
+    assert got[PACK_SHARDS] == (0, 0, 0, 300)  # empty doc: placed, no budget
+    assert got[2 * PACK_SHARDS] == (0, 300, 0, 300)  # straddles into pack 1
+    assert got[3 * PACK_SHARDS] == (0, 300, 1, 88)  # 600 - 512
+    r = compare_query(spark, str(d), "pack_sequences", spec)
+    assert r["ok"], r["detail"]

@@ -268,3 +268,26 @@ def test_substring_dedup_shuffles_ids_only(spark):
     assert exchanges, plan
     for cols in exchanges:
         assert "ws" not in cols and "text" not in cols, cols
+
+
+def test_pack_sequences_single_shuffle_local_sort(spark):
+    """Sequence packing must stay one shard Exchange + a LOCAL sort
+    feeding a single Window — a global sort (or a second shuffle) would
+    serialize the whole corpus through one ordering at 100 TB."""
+    from ocr_spark.functions.textops import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, "/root/testdata/sf0.001"))
+    detail = plan.split("== Physical Plan ==")[-1]
+    # exactly one Exchange (tree + detail each list it once)
+    assert detail.count("Exchange") == 2, plan
+    assert "hashpartitioning(shard" in detail, plan
+    # the sort under the window is per-partition (global flag false)
+    sort_args = [
+        l for l in detail.splitlines()
+        if l.strip().startswith("Arguments: [shard")
+    ]
+    assert sort_args and "false" in sort_args[0], plan
+    assert detail.count("Window") >= 1, plan
+    # scan prunes to (doc_id, text)
+    schemas = [l for l in detail.splitlines() if "ReadSchema" in l]
+    assert schemas and "lang" not in schemas[0], plan
