@@ -191,6 +191,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "text_repetition",
         "decontaminate_ngram_overlap",
         "pack_sequences",
+        "text_bigram_rarity",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",

@@ -668,6 +668,83 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# corpus-trained character-bigram rarity (quality signal)
+# --------------------------------------------------------------------------
+
+BIGRAM_RARE_RATIO = 8  # rare = corpus count below 1/R of the mean count
+
+
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained quality signal: fraction (ppm) of a document's
+    character bigrams that are RARE in the whole corpus — a cheap
+    gibberish / encoding-noise detector that, unlike the per-row quality
+    heuristics, learns its statistics from the data itself. Rarity is
+    RELATIVE (count * n_distinct * R < total, i.e. below 1/R of the
+    mean bigram frequency) so the cut tracks corpus size — an absolute
+    count threshold silently stops firing as the corpus grows.
+
+    Two passes, both integer-exact (no float aggregation anywhere):
+    train = explode bigrams -> count per bigram (the map-side partial
+    agg collapses the shuffle to one row per distinct bigram per task,
+    and the count table is bounded by the corpus alphabet squared, so it
+    broadcasts); score = explode again -> broadcast-join counts ->
+    per-doc integer tallies. At 100 TB the train pass's shuffle carries
+    ~|alphabet|^2 rows per task, not corpus rows."""
+    # lt materialized in its own projection (see q_decontaminate's
+    # note: Catalyst has no CSE across HOF lambda boundaries)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .where(F.length("lt") >= 2)
+    )
+    lt = F.col("lt")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length(lt) - 1), lambda i: lt.substr(i, F.lit(2))
+    )
+    g = docs.select("doc_id", F.explode(grams_arr).alias("bg"))
+    counts = g.groupBy("bg").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    rare = F.col("cnt") * F.col("nd") * BIGRAM_RARE_RATIO < F.col("total")
+    return (
+        g.join(F.broadcast(counts), "bg")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(rare, 1).otherwise(0)).cast("long").alias("n_rare"),
+        )
+        .withColumn("rare_ppm", F.expr("(1000000 * n_rare) div n_bigrams"))
+    )
+
+
+SQL_BIGRAM_RARITY = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents WHERE length(lower(text)) >= 2
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(lt)), i -> substr(lt, i, 2))) AS bg
+  FROM d
+), c AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY bg
+), st AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM c
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN cnt * nd * {BIGRAM_RARE_RATIO} < total
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM g JOIN c USING (bg) CROSS JOIN st GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_rare,
+       (1000000 * n_rare) // n_bigrams AS rare_ppm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # sequence packing (concat-and-chunk training packs)
 # --------------------------------------------------------------------------
 
@@ -746,4 +823,5 @@ QUERIES = {
     "text_repetition": QuerySpec(q_repetition, SQL_REPETITION),
     "decontaminate_ngram_overlap": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "text_bigram_rarity": QuerySpec(q_bigram_rarity, SQL_BIGRAM_RARITY),
 }

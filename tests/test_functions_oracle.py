@@ -618,3 +618,30 @@ def test_pack_sequences_boundary_crossing(spark, tmp_path):
     assert got[3 * PACK_SHARDS] == (0, 300, 1, 88)  # 600 - 512
     r = compare_query(spark, str(d), "pack_sequences", spec)
     assert r["ok"], r["detail"]
+
+
+def test_bigram_rarity_flags_gibberish(spark, tmp_path):
+    """The corpus-trained rarity signal must fire on the one gibberish
+    doc (bigrams far below mean frequency) and stay zero on the clean
+    majority — plus oracle parity on the crafted table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.compare import compare_query
+    from ocr_spark.functions.textops import QUERIES
+
+    rows = [
+        {"doc_id": i, "text": "the quick brown fox jumps over the lazy dog " * 3}
+        for i in range(50)
+    ]
+    rows.append({"doc_id": 50, "text": "qzxj vqwk zzqx jxqv"})
+    d = tmp_path / "sf_rarity"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["text_bigram_rarity"]
+    got = {r["doc_id"]: r["rare_ppm"] for r in spec.fn(spark, str(d)).collect()}
+    assert got[50] > 500_000, got[50]  # mostly-rare bigrams
+    assert all(v < 100_000 for k, v in got.items() if k != 50), got
+    r = compare_query(spark, str(d), "text_bigram_rarity", spec)
+    assert r["ok"], r["detail"]
