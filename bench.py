@@ -197,6 +197,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_ann_ivf",
         "embedding_ann_ivf_trained",
         "events_sessionize",
+        "events_rollup_stream",
         "events_span_reassembly",
         "tpch_revenue_by_nation",
         "infer_output_parse",

@@ -108,6 +108,50 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated run of the Structured Streaming windowed rollup
+    (spark/streaming.stream_windowed_rollup): the events table streams
+    through watermarked tumbling 1-hour windows in append mode with
+    trigger(availableNow), and the sink is read back. Append mode only
+    emits windows the final watermark (max ts - 30 min) has passed —
+    the oracle applies exactly that cutoff, so the gate checks BOTH the
+    window aggregation values and the emit-on-finalize semantics. Still-
+    open windows at stream end are withheld by design; on a live stream
+    they emit when the watermark passes them."""
+    import os
+    import tempfile
+
+    from ocr_spark.spark.streaming import stream_windowed_rollup
+
+    _pin_utc(spark)
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_stream_rollup_")
+    os.mkdir(f"{tmp}/in")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/in/events.parquet"
+    )
+    q = stream_windowed_rollup(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", available_now=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out")
+
+
+SQL_ROLLUP_STREAM = """
+WITH m AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events
+), r AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT r.window_start, r.window_end, r.event_type, r.n_events, r.value_millis
+FROM r, m WHERE r.window_end <= m.wm
+"""
+
+
 def q_span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's reassembly aggregation (groupBy -> array_sort of
     (order-key, payload) structs -> ordered sequence), restated over
@@ -258,6 +302,7 @@ QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_rollup": QuerySpec(q_rollup, SQL_ROLLUP),
+    "events_rollup_stream": QuerySpec(q_rollup_stream, SQL_ROLLUP_STREAM),
     "events_span_reassembly": QuerySpec(q_span_reassembly, SQL_SPAN_REASSEMBLY),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(

@@ -22,7 +22,9 @@ def test_query_matches_oracle(spark, name):
     assert r["rows"] > 0, "query returned no rows"
 
 
-@pytest.mark.parametrize("name", ["events_sessionize", "events_rollup"])
+@pytest.mark.parametrize(
+    "name", ["events_sessionize", "events_rollup", "events_rollup_stream"]
+)
 def test_timestamp_queries_survive_foreign_session_tz(spark, name):
     """The driver's session may not be UTC; the timestamp queries pin the
     session TZ themselves, so the oracle hash must stay green even when
