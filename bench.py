@@ -192,6 +192,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "decontaminate_ngram_overlap",
         "pack_sequences",
         "text_bigram_rarity",
+        "curate_pack_pipeline",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "embedding_ann_ivf",

@@ -690,18 +690,23 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts); score = explode again -> broadcast-join counts ->
     per-doc integer tallies. At 100 TB the train pass's shuffle carries
     ~|alphabet|^2 rows per task, not corpus rows."""
+    return _rarity_frame(load(spark, sf_dir, "documents"))
+
+
+def _rarity_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_bigram_rarity over an arbitrary documents frame —
+    reused by the composed curation pipeline. Docs shorter than two
+    characters have no bigrams and get no row."""
     # lt materialized in its own projection (see q_decontaminate's
     # note: Catalyst has no CSE across HOF lambda boundaries)
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.lower(F.col("text")).alias("lt"))
-        .where(F.length("lt") >= 2)
+    d = docs.select("doc_id", F.lower(F.col("text")).alias("lt")).where(
+        F.length("lt") >= 2
     )
     lt = F.col("lt")
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.length(lt) - 1), lambda i: lt.substr(i, F.lit(2))
     )
-    g = docs.select("doc_id", F.explode(grams_arr).alias("bg"))
+    g = d.select("doc_id", F.explode(grams_arr).alias("bg"))
     counts = g.groupBy("bg").agg(F.count("*").alias("cnt"))
     stats = counts.agg(
         F.sum("cnt").cast("long").alias("total"),
@@ -765,14 +770,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, shards are sized O(corpus / packed-output-file), so each
     window spans one output file's worth of docs; PACK_SHARDS is small
     here only so the oracle stays deterministic at test scale."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    return _pack_frame(t)
+
+
+def _pack_frame(t: DataFrame) -> DataFrame:
+    """Pack assignment over a (doc_id, shard, n_tokens) frame — reused
+    by the composed curation pipeline."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -812,6 +823,104 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# composed curation pipeline: dedup survivors -> quality gates -> packing
+# --------------------------------------------------------------------------
+
+CURATE_MIN_TOKENS = 20  # drop docs shorter than this many ws-tokens
+CURATE_MAX_RARE_PPM = 10_000  # drop docs above this bigram-rarity ppm
+
+
+def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document flow a training-data job actually runs, as
+    ONE driver-gated plan: exact-dedup survivors (canonical doc per
+    normalized hash) -> quality gates (minimum token count +
+    corpus-trained bigram-rarity cut) -> sequence packing over the
+    survivor set. Built from the SAME column expressions and constants
+    as the standalone operators (dedup.norm_hash_col, _rarity_frame,
+    _pack_frame), so the composition cannot drift from its parts; the
+    rarity model trains on the FULL corpus, then gates survivors.
+
+    Scale shape: the canonical-doc window shuffles on norm_hash (the
+    exact-dedup key), the rarity join co-partitions on doc_id, packing
+    keeps its single-shard-Exchange/local-sort shape. Docs too short to
+    have bigrams are dropped by the rarity join (un-scorable ⇒ not
+    curated) — they are all below CURATE_MIN_TOKENS anyway."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.dedup import norm_hash_col
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        norm_hash_col().alias("nh"),
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("nh"))
+    survivors = (
+        base.withColumn("canon", canon)
+        .where(
+            (F.col("doc_id") == F.col("canon"))
+            & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        )
+        .join(_rarity_frame(docs).select("doc_id", "rare_ppm"), "doc_id")
+        .where(F.col("rare_ppm") < CURATE_MAX_RARE_PPM)
+        .select(
+            "doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard"), "n_tokens"
+        )
+    )
+    return _pack_frame(survivors)
+
+
+def _curate_pack_sql() -> str:
+    from ocr_spark.functions.dedup import NORM_HASH_SQL
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt,
+         {NORM_HASH_SQL} AS nh,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))
+           AS n_tokens
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(lt)), i -> substr(lt, i, 2))) AS bg
+  FROM d WHERE length(lt) >= 2
+), c AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY bg
+), st AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM c
+), r AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN cnt * nd * {BIGRAM_RARE_RATIO} < total
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM g JOIN c USING (bg) CROSS JOIN st GROUP BY doc_id
+), rp AS (
+  SELECT doc_id, (1000000 * n_rare) // n_bigrams AS rare_ppm FROM r
+), k AS (
+  SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY nh) AS canon FROM d
+), s AS (
+  SELECT k.doc_id, k.doc_id % {PACK_SHARDS} AS shard,
+         CAST(k.n_tokens AS BIGINT) AS n_tokens
+  FROM k JOIN rp USING (doc_id)
+  WHERE k.doc_id = k.canon
+    AND k.n_tokens >= {CURATE_MIN_TOKENS}
+    AND rp.rare_ppm < {CURATE_MAX_RARE_PPM}
+), p AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_excl
+  FROM s
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
+FROM p
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -824,4 +933,5 @@ QUERIES = {
     "decontaminate_ngram_overlap": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_bigram_rarity": QuerySpec(q_bigram_rarity, SQL_BIGRAM_RARITY),
+    "curate_pack_pipeline": QuerySpec(q_curate_pack, _curate_pack_sql()),
 }

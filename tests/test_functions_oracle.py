@@ -647,3 +647,43 @@ def test_bigram_rarity_flags_gibberish(spark, tmp_path):
     assert all(v < 100_000 for k, v in got.items() if k != 50), got
     r = compare_query(spark, str(d), "text_bigram_rarity", spec)
     assert r["ok"], r["detail"]
+
+
+def test_curate_pack_each_gate_fires(spark, tmp_path):
+    """Composition correctness: the planted duplicate, the too-short
+    doc, and the gibberish doc must each be dropped by their gate, and
+    the survivors pack contiguously — plus oracle parity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.compare import compare_query
+    from ocr_spark.functions.textops import PACK_SHARDS, QUERIES
+
+    from itertools import permutations
+
+    n_clean = 20
+    clean = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [
+        {"doc_id": i * PACK_SHARDS, "text": clean + f"suffix{i}"}
+        for i in range(n_clean)
+    ]
+    # dup of doc 0 (same normalized hash), dropped by the canonical rule
+    rows.append({"doc_id": n_clean * PACK_SHARDS, "text": rows[0]["text"].upper()})
+    # < min tokens
+    rows.append({"doc_id": (n_clean + 1) * PACK_SHARDS, "text": "too short"})
+    # gibberish: 24 DISTINCT junk words (repeating one phrase would make
+    # its bigrams corpus-common and defeat the rarity gate)
+    junk = " ".join("".join(p) for p in list(permutations("qzxjv", 4))[:24])
+    rows.append({"doc_id": (n_clean + 2) * PACK_SHARDS, "text": junk})
+    d = tmp_path / "sf_curate"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["curate_pack_pipeline"]
+    out = {r["doc_id"]: r for r in spec.fn(spark, str(d)).collect()}
+    kept = set(out)
+    assert kept == {i * PACK_SHARDS for i in range(n_clean)}, kept
+    # all in shard 0; packs assigned over the survivor sequence only
+    assert out[0]["pack_id"] == 0 and out[0]["offset_in_pack"] == 0
+    r = compare_query(spark, str(d), "curate_pack_pipeline", spec)
+    assert r["ok"], r["detail"]

@@ -291,3 +291,17 @@ def test_pack_sequences_single_shuffle_local_sort(spark):
     # scan prunes to (doc_id, text)
     schemas = [l for l in detail.splitlines() if "ReadSchema" in l]
     assert schemas and "lang" not in schemas[0], plan
+
+
+def test_bigram_rarity_joins_broadcast(spark):
+    """Both rarity joins (bigram counts, corpus stats) must broadcast —
+    a sort-merge join here would shuffle the exploded bigram stream
+    (corpus-bytes-sized) on a ~alphabet²-row side."""
+    from ocr_spark.functions.textops import q_bigram_rarity
+
+    plan = _plan(q_bigram_rarity(spark, "/root/testdata/sf0.001"))
+    detail = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in detail, plan
+    assert detail.count("BroadcastHashJoin") + detail.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
