@@ -185,6 +185,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "dedup_clusters",
+        "dedup_representatives",
+        "dedup_incremental",
         "dedup_substring",
         "sample_stratified",
         "vocab_top_terms",

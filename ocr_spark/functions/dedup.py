@@ -130,6 +130,78 @@ GROUP BY 1
 """
 
 
+# Incremental ingest dedup: the daily-crawl shape — a NEW batch arrives
+# and must be deduped (a) against the already-curated corpus and (b)
+# within itself, without rescanning corpus text. The corpus side reduces
+# to its distinct norm-hash index (at 100 TB that index is a maintained
+# artifact, not a rescan — the reference analogue is the job store's
+# seen-set); the batch left-joins it on the hash (Spark inserts a
+# runtime bloom/semi-join filter on the smaller side under AQE) and
+# resolves within-batch winners by a first-occurrence window. The
+# deterministic batch split below stands in for the arrival boundary:
+# a doc is "incoming" iff its id-hash's first hex digit <= '2' (3/16 of
+# the corpus), the same portable-md5 trick as the resume buckets.
+_INCR_SPLIT_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '2'"
+
+
+def _incr_split_col() -> "F.Column":
+    # md5 over the DECIMAL STRING of the id — portable across engines
+    # (same trick as corpus.bucket_of / checkpoint.bucket_expr)
+    return (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        <= "2"
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    inc = docs.filter(_incr_split_col()).select(
+        "doc_id", norm_hash_col().alias("norm_hash")
+    )
+    ex = (
+        docs.filter(~_incr_split_col())
+        .select(norm_hash_col().alias("norm_hash"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("norm_hash").orderBy("doc_id")
+    )
+    return (
+        inc.withColumn("rn", rn)
+        .join(ex, "norm_hash", "left")
+        .select(
+            "doc_id",
+            "norm_hash",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
+            (F.col("rn") > 1).alias("dup_in_batch"),
+            (F.col("in_corpus").isNull() & (F.col("rn") == 1)).alias("novel"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH inc AS (
+  SELECT doc_id, {NORM_HASH_SQL} AS norm_hash
+  FROM documents WHERE {_INCR_SPLIT_SQL}
+), ex AS (
+  SELECT DISTINCT {NORM_HASH_SQL} AS norm_hash
+  FROM documents WHERE NOT ({_INCR_SPLIT_SQL})
+), r AS (
+  SELECT doc_id, norm_hash,
+         row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+  FROM inc
+)
+SELECT r.doc_id, r.norm_hash,
+       ex.norm_hash IS NOT NULL AS dup_of_corpus,
+       rn > 1 AS dup_in_batch,
+       (ex.norm_hash IS NULL AND rn = 1) AS novel
+FROM r LEFT JOIN ex ON ex.norm_hash = r.norm_hash
+"""
+
+
 def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of dedup_exact, driver-gated: run the
     documents table through ``readStream`` -> watermarked
@@ -1037,6 +1109,17 @@ def q_dedup_clusters(
     when the loop must survive executor loss (VERDICT r3 #3)."""
     from pyspark.sql import Window
 
+    labels = _cluster_labels(spark, sf_dir, checkpoint_dir)
+    w = Window.partitionBy("rep")
+    return labels.select(
+        "doc_id",
+        F.col("rep").alias("cluster_rep"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("rep")).alias("keep"),
+    )
+
+
+def _ckpt_factory(spark: SparkSession, checkpoint_dir: str | None):
     if checkpoint_dir is not None:
         # setCheckpointDir is session-global: restore the previous value
         # after plan construction so this query doesn't silently redirect
@@ -1059,6 +1142,16 @@ def q_dedup_clusters(
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    return ckpt
+
+
+def _cluster_labels(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """(doc_id, rep) connected-component labels over the confirmed
+    MinHash near-dup pair graph — shared by q_dedup_clusters and
+    q_dedup_representatives."""
+    ckpt = _ckpt_factory(spark, checkpoint_dir)
     pairs = q_dedup_minhash(spark, sf_dir)
     edges = pairs.filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN).select(
         "doc_a", "doc_b"
@@ -1076,22 +1169,52 @@ def q_dedup_clusters(
     labels = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("rep")
     )
-    labels = connected_components(labels, sym, ckpt)
-    w = Window.partitionBy("rep")
-    return labels.select(
+    return connected_components(labels, sym, ckpt)
+
+
+def q_dedup_representatives(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: the kept
+    doc is the cluster member with the HIGHEST quality_score (doc_id
+    tie-break), not the min id — the real curation rule when near-dups
+    differ in cleanliness (a boilerplate-laden mirror vs the clean
+    original). Completes the dedup story pairs -> components ->
+    keep-best. Output: (doc_id, cluster_rep, cluster_size,
+    quality_score, keep).
+
+    100 TB shape: the CC loop and the join move id-frames only; the one
+    documents-text scan is q_quality's (pure Catalyst); both windows
+    share the single cluster_rep hash partitioning. Cross-engine float
+    safety: quality_score is a fixed IEEE expression tree over per-doc
+    integers (bit-identical in Spark and DuckDB — the text_quality gate
+    proves it), and the doc_id tie-break makes ranking deterministic
+    even under exact score ties."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.textops import q_quality
+
+    labels = _cluster_labels(spark, sf_dir, checkpoint_dir)
+    quality = q_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w_cnt = Window.partitionBy("rep")
+    w_rank = Window.partitionBy("rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return labels.join(quality, "doc_id").select(
         "doc_id",
         F.col("rep").alias("cluster_rep"),
-        F.count("*").over(w).alias("cluster_size"),
-        (F.col("doc_id") == F.col("rep")).alias("keep"),
+        F.count("*").over(w_cnt).alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(w_rank) == 1).alias("keep"),
     )
 
 
-def _dedup_clusters_sql() -> str:
+def _cc_rep_cte() -> str:
     # DuckDB computes the same components with a recursive CTE: reach
     # propagates every starting label along (symmetric) edges; min over
     # the labels that reach a node is its component representative.
-    return f"""
-WITH RECURSIVE mh AS ({_minhash_sql()}
+    # Shared WITH-body for the clusters and representatives oracles.
+    return f"""mh AS ({_minhash_sql()}
 ), e AS (
   SELECT doc_a AS a, doc_b AS b FROM mh WHERE jaccard >= {CLUSTER_JACCARD_MIN}
   UNION ALL
@@ -1102,11 +1225,33 @@ WITH RECURSIVE mh AS ({_minhash_sql()}
   SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
 ), rep AS (
   SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
-)
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_rep_cte()}
 SELECT doc_id, cluster_rep,
        CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
        doc_id = cluster_rep AS keep
 FROM rep
+"""
+
+
+def _dedup_representatives_sql() -> str:
+    from ocr_spark.functions.textops import SQL_QUALITY
+
+    return f"""
+WITH RECURSIVE {_cc_rep_cte()}, q AS (
+  SELECT doc_id, quality_score FROM ({SQL_QUALITY})
+)
+SELECT rep.doc_id, cluster_rep,
+       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+       q.quality_score,
+       row_number() OVER (
+         PARTITION BY cluster_rep ORDER BY q.quality_score DESC, rep.doc_id
+       ) = 1 AS keep
+FROM rep JOIN q ON q.doc_id = rep.doc_id
 """
 
 
@@ -1237,11 +1382,15 @@ FROM b LEFT JOIN p USING (doc_id)
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_stream": QuerySpec(q_dedup_exact_stream, SQL_DEDUP_EXACT_STREAM),
+    "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _minhash_sql()),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding, _embedding_dup_sql()),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _dedup_clusters_sql()),
+    "dedup_representatives": QuerySpec(
+        q_dedup_representatives, _dedup_representatives_sql()
+    ),
     "dedup_substring": QuerySpec(q_dedup_substring, SQL_DEDUP_SUBSTRING),
 }

@@ -305,3 +305,50 @@ def test_bigram_rarity_joins_broadcast(spark):
     assert detail.count("BroadcastHashJoin") + detail.count(
         "BroadcastNestedLoopJoin"
     ) >= 2, plan
+
+
+def test_representatives_final_plan_is_id_frames_plus_one_text_scan(spark):
+    """dedup_representatives joins the (checkpointed, id-only) CC labels
+    with the quality scores: the FINAL plan must read document text
+    exactly once (quality's scan — the CC loop's minhash scans are
+    already materialized behind the checkpoint) and compute both windows
+    over one cluster_rep partitioning."""
+    import re
+
+    from ocr_spark.functions.dedup import q_dedup_representatives
+
+    plan = _plan(q_dedup_representatives(spark, "/root/testdata/sf0.001"))
+    detail = plan.split("== Physical Plan ==")[-1]
+    assert "Scan ExistingRDD" in detail, plan
+    text_scans = [
+        s for s in re.findall(r"ReadSchema: struct<[^\n]*", detail) if "text" in s
+    ]
+    assert len(text_scans) == 1, plan
+    # both windows share the single hash partitioning on the cluster key
+    # (formatted plans name shuffles in an "Arguments: hashpartitioning"
+    # detail line under each Exchange node)
+    assert detail.count("Arguments: hashpartitioning(rep") == 1, plan
+
+
+def test_incremental_dedup_scans_twice_no_cartesian(spark):
+    """dedup_incremental reads the documents table exactly twice (batch
+    side + corpus-index side), joins on the hash key (never a cartesian
+    product), and its shuffles carry (hash, id) frames — text is dropped
+    at the projection under each scan."""
+    import re
+
+    from ocr_spark.functions.dedup import q_dedup_incremental
+
+    plan = _plan(q_dedup_incremental(spark, "/root/testdata/sf0.001"))
+    detail = plan.split("== Physical Plan ==")[-1]
+    schemas = re.findall(r"ReadSchema: struct<[^\n]*", detail)
+    assert len(schemas) == 2, plan
+    assert "CartesianProduct" not in detail, plan
+    exchanges = [
+        l
+        for l in detail.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchanges, plan
+    for l in exchanges:
+        assert "text#" not in l, l
