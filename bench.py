@@ -187,6 +187,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_clusters",
         "dedup_representatives",
         "dedup_incremental",
+        "split_leakage_safe",
         "dedup_substring",
         "sample_stratified",
         "vocab_top_terms",

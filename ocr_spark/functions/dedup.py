@@ -1256,6 +1256,55 @@ FROM rep JOIN q ON q.doc_id = rep.doc_id
 
 
 # --------------------------------------------------------------------------
+# leakage-safe train/eval split (near-dup clusters atomic across splits)
+# --------------------------------------------------------------------------
+
+# A doc's split is a pure function of its near-dup CLUSTER REPRESENTATIVE,
+# never of the doc itself, so near-duplicates can never straddle
+# train/eval — the classic contamination path (an eval doc whose
+# near-twin was trained on survives doc-level random splits). Rule:
+# first hex digit of the portable md5 (same engine-parity idiom as the
+# resume buckets and the ingest split) <= SPLIT_EVAL_HEX -> eval
+# (2/16 = 12.5% expected mass), else train. Hash-deterministic: growing
+# the corpus never reassigns an existing cluster.
+SPLIT_EVAL_HEX = "1"
+
+
+def q_split_leakage_safe(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Near-dup-leakage-safe train/eval split: every document is
+    assigned train or eval by hashing its connected-component
+    representative over the confirmed MinHash near-dup graph (the same
+    labels as q_dedup_clusters), so a cluster moves ATOMICALLY — no
+    near-duplicate of an eval document can appear in train. Output:
+    (doc_id, cluster_rep, split).
+
+    100 TB shape: inherits the CC loop's id-only frames; the split rule
+    is one map-side hash over the final label frame — zero Exchanges
+    beyond the cluster labeling itself (no window, no join)."""
+    labels = _cluster_labels(spark, sf_dir, checkpoint_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("rep").cast("string").cast("binary")), 1, 1)
+        <= SPLIT_EVAL_HEX,
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return labels.select(
+        "doc_id", F.col("rep").alias("cluster_rep"), split.alias("split")
+    )
+
+
+def _split_leakage_safe_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_rep_cte()}
+SELECT doc_id, cluster_rep,
+       CASE WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) <= '{SPLIT_EVAL_HEX}'
+            THEN 'eval' ELSE 'train' END AS split
+FROM rep
+"""
+
+
+# --------------------------------------------------------------------------
 # exact substring dedup (duplicated-run coverage)
 # --------------------------------------------------------------------------
 
@@ -1393,4 +1442,7 @@ QUERIES = {
         q_dedup_representatives, _dedup_representatives_sql()
     ),
     "dedup_substring": QuerySpec(q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "split_leakage_safe": QuerySpec(
+        q_split_leakage_safe, _split_leakage_safe_sql()
+    ),
 }

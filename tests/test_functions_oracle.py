@@ -687,3 +687,44 @@ def test_curate_pack_each_gate_fires(spark, tmp_path):
     assert out[0]["pack_id"] == 0 and out[0]["offset_in_pack"] == 0
     r = compare_query(spark, str(d), "curate_pack_pipeline", spec)
     assert r["ok"], r["detail"]
+
+
+def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
+    """The split's whole point: no confirmed near-dup pair may straddle
+    train/eval (doc-level random splits leak eval content into train via
+    near-twins). Every CLUSTER_JACCARD_MIN-confirmed MinHash pair must
+    land in one split — transitively, via the CC labels — and the rule
+    must still produce both split values on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import (
+        CLUSTER_JACCARD_MIN,
+        q_dedup_minhash,
+        q_split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = q_split_leakage_safe(spark, sf)
+    pairs = q_dedup_minhash(spark, sf).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    joined = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+        .collect()
+    )
+    assert joined, "fixture corpus must contain confirmed near-dup pairs"
+    assert all(r["sa"] == r["sb"] for r in joined), joined
+    vals = {r["split"] for r in split.select("split").distinct().collect()}
+    assert vals == {"train", "eval"}, vals

@@ -352,3 +352,21 @@ def test_incremental_dedup_scans_twice_no_cartesian(spark):
     assert exchanges, plan
     for l in exchanges:
         assert "text#" not in l, l
+
+
+def test_leakage_safe_split_adds_no_exchange_over_labels(spark):
+    """split_leakage_safe is a pure map-side hash over the
+    (checkpointed, id-only) CC label frame: the FINAL plan must contain
+    NO Exchange and NO text scan at all — the split rule must never pay
+    a shuffle or a re-read beyond the labeling it derives from."""
+    import re
+
+    from ocr_spark.functions.dedup import q_split_leakage_safe
+
+    plan = _plan(q_split_leakage_safe(spark, "/root/testdata/sf0.001"))
+    detail = plan.split("== Physical Plan ==")[-1]
+    assert "Scan ExistingRDD" in detail, plan
+    assert "Exchange" not in detail, plan
+    assert not [
+        s for s in re.findall(r"ReadSchema: struct<[^\n]*", detail) if "text" in s
+    ], plan
