@@ -228,14 +228,23 @@ def make_audio_features_udf(sample_rate: int = 16000, fake: bool | None = None):
 
 
 def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, np.ndarray]]:
-    """Real video frame sampling (every Nth frame, grayscale) via PyAV.
-    Raises NotImplementedError when PyAV/ffmpeg is absent — there is no
-    stdlib video decoder to fall back on."""
+    """Real video frame sampling (every Nth frame, grayscale): PyAV when
+    installed (any ffmpeg codec); without it, *uncompressed* DIB AVIs
+    decode via the pure-numpy RIFF walker (ocr_spark.aviio — the video
+    sibling of pdfio's no-fitz header walker), so the real path executes
+    in this container too. Raises NotImplementedError only when neither
+    decoder applies (compressed codec without PyAV)."""
     av = _av()
     if av is None:
+        from ocr_spark.aviio import walk_avi_frames
+
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            return walk_avi_frames(data, every_n)
         raise NotImplementedError(
-            "video decode requires PyAV/ffmpeg (absent in this container); "
-            "fake=True gives the single-frame stand-in"
+            "video decode requires PyAV/ffmpeg for non-AVI payloads "
+            "(absent in this container); uncompressed DIB AVIs decode "
+            "via the RIFF walker; fake=True gives the single-frame "
+            "stand-in"
         )
     import io
 
@@ -248,25 +257,27 @@ def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, np.ndarra
 
 
 def make_frame_sample_udf(every_n: int = 10, fake: bool | None = None):
-    """Video frame sampling. ``fake=None`` (default) uses the real PyAV
-    decoder when installed and falls back to the deterministic fake when
-    it is not; ``fake=False`` forces real decode (raises without PyAV);
-    the fake treats the payload as a single-frame 'video' (its PNG),
-    emitting the rows the real sampler would."""
+    """Video frame sampling. ``fake=None`` (default) attempts the real
+    decoder per row — PyAV when installed, the pure-numpy uncompressed-AVI
+    walker otherwise — and emits the deterministic single-frame stand-in
+    only for payloads no available decoder covers; ``fake=False`` forces
+    real decode (NotImplementedError propagates); ``fake=True`` forces
+    the stand-in (plumbing tests / non-video corpora). The stand-in
+    treats the payload as a single-frame 'video' (its PNG), emitting the
+    rows the real sampler would."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_spark.imaging.png import encode_png
 
         # feature-detect on the EXECUTOR, where the UDF runs: driver-side
         # detection would bake the driver venv's PyAV availability into
         # the plan and kill tasks on heterogeneous clusters
-        use_fake = fake if fake is not None else _av() is None
         for b in batches:
             rows = []
             for r in b.itertuples():
                 data = bytes(r.png) if r.png is not None else b""
                 if not data:
                     continue
-                if use_fake:
+                if fake:
                     rows.append(
                         {"media_ref": r.media_ref, "frame_idx": 0, "frame_png": data}
                     )
@@ -274,7 +285,12 @@ def make_frame_sample_udf(every_n: int = 10, fake: bool | None = None):
                 try:
                     frames = _decode_video_frames(data, every_n)
                 except NotImplementedError:
-                    raise
+                    if fake is False:
+                        raise
+                    rows.append(
+                        {"media_ref": r.media_ref, "frame_idx": 0, "frame_png": data}
+                    )
+                    continue
                 except Exception:  # noqa: BLE001 — undecodable -> dropped
                     continue
                 for i, arr in frames:
