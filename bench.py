@@ -200,6 +200,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_ann_lsh",
         "embedding_ann_ivf",
         "embedding_ann_ivf_trained",
+        "ivf_train_kmeans",
         "events_sessionize",
         "events_rollup_stream",
         "events_span_reassembly",

@@ -631,10 +631,195 @@ def sql_ann_ivf_trained(sf_dir: str) -> str:
     return _ann_ivf_sql(f"SELECT cid, ce FROM (VALUES {rows}) v(cid, ce)")
 
 
+# --------------------------------------------------------------------------
+# distributed quantizer training: k-means over the cluster, not the driver
+# --------------------------------------------------------------------------
+
+# train_centroids (above) fits on a BOUNDED driver-side sample — the
+# honest small-scale stand-in for "the quantizer is a trained artifact".
+# This operator is the artifact's TRAINING JOB itself, restated as the
+# k-means|| -style Spark loop a 100 TB corpus actually runs: every
+# iteration is (a) the Exchange-free map-side assignment (ivf_assign_col
+# — the same expression the search plan uses) and (b) ONE hash-aggregate
+# shuffle of integer-quantized component sums, so the per-iteration
+# shuffle payload is K x (DIM+1) BIGINTs per map partition and the
+# driver only ever holds K rows of exact integers. Quantization makes
+# the update ORDER-INDEPENDENT and engine-exact: SUM(BIGINT) is
+# associative where SUM(DOUBLE) is not, so the Spark aggregation, the
+# Python centroid update, and the DuckDB oracle's unrolled-CTE replay
+# produce bit-identical centroids at every iteration — the oracle
+# re-derives the whole training run from the table alone (no literals).
+#
+# Overflow headroom: |component| < 1 => |eq| < KM_Q = 1e6; a single
+# list absorbing ALL of a 10^12-row corpus sums to < 1e18 < int64 max.
+KM_K = 16  # trainer list count (distinct from IVF_K so both are exercised)
+KM_ITERS = 4
+KM_Q = 1000000.0  # component quantum for the exact update shuffle
+
+
+def _km_eq_col() -> Column:
+    """Quantized embedding: round(x * KM_Q) as BIGINT per component."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(KM_Q)).cast("long"),
+    )
+
+
+def _km_update(
+    prev: list[tuple[int, list[float]]], rows
+) -> list[tuple[int, list[float]]]:
+    """One exact centroid update from collected (cid, n, s0..s63) integer
+    sums: mean_i = (s_i / KM_Q) / n, then spherical normalization — every
+    float op in the SAME sequence as the oracle's list_transform /
+    list_reduce chain, so the doubles match bit-for-bit. Empty or
+    zero-norm lists keep the previous centroid (deterministic)."""
+    import math
+
+    by_cid = {int(r["cid"]): r for r in rows}
+    out = []
+    for cid, ce in prev:
+        r = by_cid.get(cid)
+        if r is None or r["n"] == 0:
+            out.append((cid, ce))
+            continue
+        n = float(r["n"])
+        m = [(float(r[f"s{i}"]) / KM_Q) / n for i in range(DIM)]
+        acc = 0.0
+        for v in m:
+            acc += v * v
+        norm = math.sqrt(acc)
+        out.append((cid, [v / norm for v in m]) if norm > 0 else (cid, ce))
+    return out
+
+
+def q_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means: KM_ITERS Lloyd's iterations where
+    assignment is the map-side literal-centroid expression and the update
+    is one integer-exact shuffle; returns the trained quantizer exploded
+    to (cid, dim, c_q, n_members) with c_q = round(component * KM_Q) and
+    n_members from a final assignment pass (empty lists report 0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < KM_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for _ in range(KM_ITERS):
+        sums = (
+            ivf_lists(emb, cent)
+            .select("cid", _km_eq_col().alias("eq"))
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("eq")[i]).alias(f"s{i}") for i in range(DIM)],
+            )
+            .collect()
+        )
+        cent = _km_update(cent, sums)
+    counts = ivf_lists(emb, cent).groupBy("cid").agg(
+        F.count("*").alias("n_members")
+    )
+    cent_rows = spark.createDataFrame(
+        [(cid, i, ce[i]) for cid, ce in cent for i in range(DIM)],
+        "cid int, dim int, c double",
+    )
+    return (
+        cent_rows.join(F.broadcast(counts), "cid", "left")
+        .select(
+            "cid",
+            "dim",
+            F.round(F.col("c") * F.lit(KM_Q)).cast("long").alias("c_q"),
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+                "n_members"
+            ),
+        )
+    )
+
+
+def _km_norm_sql(m: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({m}, x -> x * x), (x, y) -> x + y))"
+    )
+
+
+def _km_assign_cte(tag: str, cent: str) -> str:
+    """One assignment CTE: nearest-of-K by the SAME rounded cosine and
+    tie rule as ivf_assign_col (csim DESC, cid ASC, all-null -> lowest)."""
+    return f"""assign{tag} AS (
+  SELECT vec_id, eq, cid FROM (
+    SELECT b.vec_id, b.eq, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.embedding', 'c.ce')} DESC, c.cid) AS rk
+    FROM kmbase b, {cent} c
+  ) WHERE rk = 1
+)"""
+
+
+def _sql_ivf_train_kmeans() -> str:
+    """The full training replay as one chain of unrolled CTEs — pure SQL
+    over the embeddings table, zero data-derived literals."""
+    parts = [
+        f"""kmbase AS (
+  SELECT vec_id,
+         embedding,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id < {KM_K}
+)""",
+    ]
+    for t in range(KM_ITERS):
+        parts.append(_km_assign_cte(str(t), f"cent{t}"))
+        parts.append(
+            f"""sums{t} AS (
+  SELECT a.cid, r.i AS i, CAST(sum(a.eq[r.i]) AS BIGINT) AS s, count(*) AS n
+  FROM assign{t} a, range(1, {DIM} + 1) r(i)
+  GROUP BY a.cid, r.i
+)"""
+        )
+        parts.append(
+            f"""upd{t} AS (
+  SELECT cid, list((CAST(s AS DOUBLE) / {KM_Q}) / n ORDER BY i) AS m
+  FROM sums{t} GROUP BY cid
+)"""
+        )
+        parts.append(
+            f"""cent{t + 1} AS (
+  SELECT p.cid,
+         CASE WHEN u.cid IS NOT NULL AND {_km_norm_sql('u.m')} > 0
+              THEN list_transform(u.m, x -> x / {_km_norm_sql('u.m')})
+              ELSE p.ce END AS ce
+  FROM cent{t} p LEFT JOIN upd{t} u USING (cid)
+)"""
+        )
+    parts.append(_km_assign_cte("F", f"cent{KM_ITERS}"))
+    parts.append(
+        "fcnt AS (SELECT cid, count(*) AS n FROM assignF GROUP BY cid)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.cid AS cid, r.i - 1 AS dim,
+       CAST(round(c.ce[r.i] * {KM_Q}) AS BIGINT) AS c_q,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_members
+FROM cent{KM_ITERS} c LEFT JOIN fcnt f USING (cid), range(1, {DIM} + 1) r(i)
+"""
+    )
+
+
+SQL_IVF_TRAIN_KMEANS = _sql_ivf_train_kmeans()
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_ann_lsh": QuerySpec(q_ann_lsh, SQL_ANN_LSH),
     "embedding_ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
     "embedding_ann_ivf_trained": QuerySpec(q_ann_ivf_trained, sql_ann_ivf_trained),
+    "ivf_train_kmeans": QuerySpec(q_ivf_train_kmeans, SQL_IVF_TRAIN_KMEANS),
 }

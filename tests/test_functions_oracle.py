@@ -728,3 +728,37 @@ def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
     assert all(r["sa"] == r["sb"] for r in joined), joined
     vals = {r["split"] for r in split.select("split").distinct().collect()}
     assert vals == {"train", "eval"}, vals
+
+
+def test_kmeans_trainer_oracle_and_convergence(spark):
+    """The distributed k-means trainer must (a) hash-match the DuckDB
+    replay of the whole training run — pure SQL over the table, zero
+    data-derived literals, so bit-parity of every iteration is what is
+    being proven — and (b) actually train: mean cosine to the assigned
+    centroid strictly improves over the first-K init, and every vector
+    is counted in exactly one list."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(spark, sf, "ivf_train_kmeans", S.QUERIES["ivf_train_kmeans"])
+    assert r["ok"], r["detail"]
+
+    out = S.q_ivf_train_kmeans(spark, sf).collect()
+    tbl = pq.read_table(sf + "/embeddings.parquet")
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    assert sum(row["n_members"] for row in out) // S.DIM == len(emb)
+
+    trained = np.zeros((S.KM_K, S.DIM))
+    for row in out:
+        trained[row["cid"], row["dim"]] = row["c_q"] / S.KM_Q
+    init = emb[np.array(tbl.column("vec_id").to_pylist()) < S.KM_K]
+
+    def mean_best_cos(cents):
+        u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        return float((u @ c.T).max(axis=1).mean())
+
+    assert mean_best_cos(trained) > mean_best_cos(init)

@@ -370,3 +370,40 @@ def test_leakage_safe_split_adds_no_exchange_over_labels(spark):
     assert not [
         s for s in re.findall(r"ReadSchema: struct<[^\n]*", detail) if "text" in s
     ], plan
+
+
+def test_kmeans_update_is_one_exchange_no_join(spark):
+    """The distributed-trainer iteration body: map-side assignment (the
+    ivf_lists expression — no join, no window) feeding ONE hash-aggregate
+    Exchange of quantized integer sums. A second Exchange or any Join in
+    this subtree means the training shuffle grew with something other
+    than K, which is the thing that cannot happen at 10^12 rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import load
+    from ocr_spark.functions import similarity as S
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cent = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < S.KM_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    upd = (
+        S.ivf_lists(emb, cent)
+        .select("cid", S._km_eq_col().alias("eq"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("eq")[i]).alias(f"s{i}") for i in range(S.DIM)],
+        )
+    )
+    import re
+
+    plan = _plan(upd)
+    # count tree nodes only (the formatted detail section repeats names)
+    tree = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
+    n_exchange = len(re.findall(r"[+:]- Exchange", tree))
+    assert n_exchange == 1, plan
+    assert "Join" not in tree and "Window" not in tree, plan
