@@ -195,6 +195,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "decontaminate_ngram_overlap",
         "pack_sequences",
         "text_bigram_rarity",
+        "text_bm25",
         "curate_pack_pipeline",
         "embedding_cosine_topk",
         "embedding_ann_lsh",

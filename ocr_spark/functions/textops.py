@@ -921,6 +921,137 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Walker Okapi BM25; Lucene +1 idf form)
+# --------------------------------------------------------------------------
+
+# Search-side primitive a curation stack needs next to dedup: rank the
+# corpus against a fixed query-term set. Shape at 100 TB: per-doc term
+# frequencies for a LITERAL term list are per-row expressions (no
+# explode, no vocabulary shuffle), the corpus statistics (N, sum_dl,
+# per-term df) are ONE map-side-combined aggregate producing a single
+# row that broadcasts back, and the top-K is TakeOrderedAndProject —
+# the full-corpus score column never sorts globally. Scores quantize
+# per term to BIGINT (round(contrib * BM25_QUANT)) and the doc score is
+# the integer sum, per the repo's no-float-aggregation rule; every
+# float op inside one contribution follows the same IEEE sequence in
+# Spark and the oracle.
+BM25_TERMS = ("dup", "window", "customer", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+BM25_QUANT = 1000000000.0
+
+
+def _tf_col(ltoks, term: str):
+    """Per-row term frequency for one literal term. The lambda MUST stay
+    single-argument: a second (even defaulted) parameter flips pyspark's
+    HOF calling convention to (element, index) — the minhash seed-arity
+    bug all over again (dedup.py:52-63)."""
+    lit_t = F.lit(term)
+    return F.size(F.filter(ltoks, lambda w: w == lit_t))
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ltoks = _ws_tokens(F.lower(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        F.size(ltoks).alias("dl"),
+        *[
+            _tf_col(ltoks, t).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        dl_norm = (F.col("dl").cast("double") * n) / F.col("sum_dl").cast(
+            "double"
+        )
+        sat = (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_norm)
+        )
+        return F.round((idf * sat) * F.lit(BM25_QUANT)).cast("long")
+
+    score = contrib(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + contrib(i)
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", score.alias("score_q")
+    )
+    top = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "dl",
+        "score_q",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    """One term's quantized contribution — the same literals and the
+    same IEEE op sequence as the Spark `contrib` above."""
+    tf, df = f"CAST(tf_{i} AS DOUBLE)", f"CAST(df_{i} AS DOUBLE)"
+    n = "CAST(n_docs AS DOUBLE)"
+    idf = f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+    dl_norm = f"((CAST(dl AS DOUBLE) * {n}) / CAST(sum_dl AS DOUBLE))"
+    sat = (
+        f"(({tf} * {BM25_K1 + 1.0!r}) / ({tf} + {BM25_K1!r} * "
+        f"({1.0 - BM25_B!r} + {BM25_B!r} * {dl_norm})))"
+    )
+    return f"CAST(round(({idf} * {sat}) * {BM25_QUANT!r}) AS BIGINT)"
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"w -> w != ''), w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(_bm25_contrib_sql(i) for i in range(len(BM25_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT b.doc_id, b.dl, {score} AS score_q
+  FROM base b, stats
+), top AS (
+  SELECT doc_id, dl, score_q FROM scored
+  ORDER BY score_q DESC, doc_id LIMIT {BM25_TOPK}
+)
+SELECT doc_id, dl, score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+FROM top
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -934,4 +1065,5 @@ QUERIES = {
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_bigram_rarity": QuerySpec(q_bigram_rarity, SQL_BIGRAM_RARITY),
     "curate_pack_pipeline": QuerySpec(q_curate_pack, _curate_pack_sql()),
+    "text_bm25": QuerySpec(q_text_bm25, _bm25_sql()),
 }

@@ -762,3 +762,32 @@ def test_kmeans_trainer_oracle_and_convergence(spark):
         return float((u @ c.T).max(axis=1).mean())
 
     assert mean_best_cos(trained) > mean_best_cos(init)
+
+
+def test_bm25_rare_term_dominates(spark):
+    """BM25 semantics on the fixture corpus: 'dup' is ~30x rarer than the
+    other query terms, so its idf dominates — every doc containing 'dup'
+    must outrank every doc that merely matches the common terms, and the
+    gate itself must hash-match the oracle."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import load
+    from ocr_spark.functions.textops import BM25_TOPK, QUERIES, q_text_bm25
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(spark, sf, "text_bm25", QUERIES["text_bm25"])
+    assert r["ok"], r["detail"]
+
+    top = q_text_bm25(spark, sf).collect()
+    assert len(top) == BM25_TOPK
+    assert [row["rank"] for row in top] == list(range(1, BM25_TOPK + 1))
+    dup_docs = {
+        row["doc_id"]
+        for row in load(spark, sf, "documents")
+        .filter(F.array_contains(F.split(F.lower("text"), "\\s+"), "dup"))
+        .select("doc_id")
+        .collect()
+    }
+    n_dup_ranked = sum(1 for row in top if row["doc_id"] in dup_docs)
+    expected_dup_in_top = min(len(dup_docs), BM25_TOPK)
+    assert n_dup_ranked == expected_dup_in_top, (n_dup_ranked, len(dup_docs))

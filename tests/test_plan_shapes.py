@@ -407,3 +407,17 @@ def test_kmeans_update_is_one_exchange_no_join(spark):
     n_exchange = len(re.findall(r"[+:]- Exchange", tree))
     assert n_exchange == 1, plan
     assert "Join" not in tree and "Window" not in tree, plan
+
+
+def test_bm25_no_explode_takeordered(spark):
+    """BM25's 100 TB shape: literal-term tfs are per-row expressions
+    (no Generate/explode anywhere), the corpus-stats aggregate broadcasts
+    back (BroadcastNestedLoopJoin over ONE row), and the top-K compiles
+    to TakeOrderedAndProject — the scored corpus never sorts globally."""
+    from ocr_spark.functions.textops import q_text_bm25
+
+    plan = _plan(q_text_bm25(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in tree, plan
+    assert "Generate" not in tree, plan
+    assert "Sort " not in tree.split("TakeOrderedAndProject")[0], plan
