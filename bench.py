@@ -189,6 +189,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_incremental",
         "split_leakage_safe",
         "dedup_substring",
+        "dedup_substring_rewrite",
         "sample_stratified",
         "vocab_top_terms",
         "text_repetition",

@@ -1428,6 +1428,128 @@ FROM b LEFT JOIN p USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# exact substring REMOVAL (the rewrite step of Lee et al., ACL 2022)
+# --------------------------------------------------------------------------
+
+# q_dedup_substring measures duplicated-run coverage; this operator
+# performs the actual cleaning step the paper runs: every occurrence of
+# a cross-doc duplicated K-token run is REMOVED except the single
+# global canonical occurrence (lowest (doc_id, pos) — a per-gram
+# row_number, deterministic in both engines), and each document is
+# re-emitted with the covered token positions cut out. 100 TB shape:
+# the dup-gram resolution and the per-gram canonical window carry
+# (gkey, doc_id, pos) rows only; the ONLY text-bearing Exchange is the
+# final doc_id hash join that merges each doc's edit list with its
+# token array — a rewrite must move each document's text exactly once,
+# and this plan moves it exactly once (plan-test). Per-doc edit lists
+# are bounded by document length, never corpus size.
+
+
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _tokens_col().alias("ws"))
+        .select("doc_id", F.size("ws").alias("n_words"), "ws")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_words") - (SUBSTR_K - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(SUBSTR_K)]
+            ).cast("binary")
+        ),
+    )
+    sh = (
+        base.where(F.col("n_words") >= SUBSTR_K)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gkey"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gkey")
+    )
+    dup = (
+        sh.groupBy("gkey")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gkey")
+    )
+    wg = Window.partitionBy("gkey").orderBy("doc_id", "pos")
+    removed = (
+        sh.join(dup, "gkey")
+        .withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("cuts"))
+    )
+    joined = base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "ws",
+        F.coalesce("cuts", F.array().cast("array<int>")).alias("cuts"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("n_words")),
+        lambda i: ~F.exists(
+            F.col("cuts"), lambda p: (p <= i) & (i < p + F.lit(SUBSTR_K))
+        ),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.element_at(F.col("ws"), i))
+    )
+    return joined.where(F.col("n_words") > 0).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.size("cuts").alias("removed_occurrences"),
+        F.size(kept).cast("int").alias("kept_tokens"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+SQL_DEDUP_SUBSTRING_REWRITE = f"""
+WITH b AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS n_words, {_TOKENS_SQL} AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, n_words - {SUBSTR_K} + 2),
+           i -> {{'pos': i,
+                  'gkey': md5(list_aggregate(ws[i:i + {SUBSTR_K} - 1],
+                                             'string_agg', ' '))}})) AS u
+  FROM b
+), s AS (
+  SELECT doc_id, u.pos AS pos, u.gkey AS gkey FROM g
+), d AS (
+  SELECT gkey FROM s GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2
+), r AS (
+  SELECT doc_id, pos FROM (
+    SELECT s.doc_id, s.pos,
+           row_number() OVER (PARTITION BY s.gkey
+                              ORDER BY s.doc_id, s.pos) AS rn
+    FROM s JOIN d USING (gkey)
+  ) WHERE rn >= 2
+), cuts AS (
+  SELECT doc_id, list_sort(list(pos)) AS cuts FROM r GROUP BY doc_id
+), j AS (
+  SELECT b.doc_id, b.n_words, b.ws, coalesce(c.cuts, []) AS cuts
+  FROM b LEFT JOIN cuts c USING (doc_id)
+), k AS (
+  SELECT doc_id, n_words, cuts, ws,
+         list_filter(range(1, n_words + 1),
+                     i -> NOT len(list_filter(cuts,
+                                 p -> p <= i AND i < p + {SUBSTR_K})) > 0) AS kept
+  FROM j
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(len(cuts) AS INT) AS removed_occurrences,
+       CAST(len(kept) AS INT) AS kept_tokens,
+       md5(coalesce(list_aggregate(list_transform(kept, i -> ws[i]),
+                                   'string_agg', ' '), '')) AS clean_md5
+FROM k WHERE n_words > 0
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_stream": QuerySpec(q_dedup_exact_stream, SQL_DEDUP_EXACT_STREAM),
@@ -1442,6 +1564,9 @@ QUERIES = {
         q_dedup_representatives, _dedup_representatives_sql()
     ),
     "dedup_substring": QuerySpec(q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_rewrite": QuerySpec(
+        q_dedup_substring_rewrite, SQL_DEDUP_SUBSTRING_REWRITE
+    ),
     "split_leakage_safe": QuerySpec(
         q_split_leakage_safe, _split_leakage_safe_sql()
     ),

@@ -791,3 +791,47 @@ def test_bm25_rare_term_dominates(spark):
     n_dup_ranked = sum(1 for row in top if row["doc_id"] in dup_docs)
     expected_dup_in_top = min(len(dup_docs), BM25_TOPK)
     assert n_dup_ranked == expected_dup_in_top, (n_dup_ranked, len(dup_docs))
+
+
+def test_substring_rewrite_removes_all_but_canonical(spark, tmp_path):
+    """The cleaning semantics of Lee et al.: a K-run shared by two docs
+    survives ONLY in the canonical (lowest doc_id, pos) occurrence; the
+    other doc is re-emitted with the run cut out; unique docs re-emit
+    verbatim. Plus oracle parity on the crafted corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.compare import compare_query
+    from ocr_spark.functions.dedup import QUERIES, SUBSTR_K
+
+    run = " ".join(f"w{i}" for i in range(SUBSTR_K))  # exactly one K-gram
+    rows = [
+        {"doc_id": 1, "text": f"alpha beta {run} gamma delta"},
+        {"doc_id": 2, "text": f"start {run} middle end tail"},
+        {"doc_id": 3, "text": "totally unique words only here now"},
+    ]
+    d = tmp_path / "sf_rw"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["dedup_substring_rewrite"]
+    out = {r["doc_id"]: r for r in spec.fn(spark, str(d)).collect()}
+
+    def md5_of(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 is canonical: nothing removed
+    assert out[1]["removed_occurrences"] == 0
+    assert out[1]["clean_md5"] == md5_of(rows[0]["text"].lower())
+    # doc 2 loses exactly the K tokens of the run
+    assert out[2]["removed_occurrences"] == 1
+    assert out[2]["kept_tokens"] == out[2]["n_words"] - SUBSTR_K
+    assert out[2]["clean_md5"] == md5_of("start middle end tail")
+    # unique doc re-emits verbatim
+    assert out[3]["removed_occurrences"] == 0
+    assert out[3]["clean_md5"] == md5_of(rows[2]["text"])
+
+    r = compare_query(spark, str(d), "dedup_substring_rewrite", spec)
+    assert r["ok"], r["detail"]

@@ -421,3 +421,23 @@ def test_bm25_no_explode_takeordered(spark):
     assert "TakeOrderedAndProject" in tree, plan
     assert "Generate" not in tree, plan
     assert "Sort " not in tree.split("TakeOrderedAndProject")[0], plan
+
+
+def test_substring_rewrite_single_text_shuffle(spark):
+    """The rewrite's 100 TB discipline: dup-gram resolution and the
+    per-gram canonical window shuffle (gkey, doc_id, pos) rows only —
+    document text/token arrays ride AT MOST ONE Exchange (the final
+    doc_id join that merges each doc's edit list with its tokens). A
+    rewrite must move each document once; more than once is the
+    regression this test exists to catch."""
+    from ocr_spark.functions.dedup import q_dedup_substring_rewrite
+
+    df = q_dedup_substring_rewrite(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    text_exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.lstrip(" +-:*()0123456789").startswith("Exchange")
+        and ("text#" in l or "ws#" in l)
+    ]
+    assert len(text_exchanges) <= 1, plan
