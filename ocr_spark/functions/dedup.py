@@ -1145,12 +1145,29 @@ def _ckpt_factory(spark: SparkSession, checkpoint_dir: str | None):
     return ckpt
 
 
+# One label frame per (session, table, checkpoint mode): four driver
+# queries derive from the same CC labeling (clusters, representatives,
+# leakage-safe split, and anything composed on top). At production
+# scale the labels are a MATERIALIZED artifact every consumer reads;
+# the in-session twin of that posture is computing the checkpointed
+# frame once — deterministic inputs, so reuse cannot change any result,
+# it only stops the fixpoint loop re-running per consumer (measured
+# ~3-6 s per extra consumer at sf0.1). Keyed by applicationId so a new
+# SparkContext never sees another context's RDD references.
+_LABELS_CACHE: dict[tuple[str, str, str | None], DataFrame] = {}
+
+
 def _cluster_labels(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """(doc_id, rep) connected-component labels over the confirmed
-    MinHash near-dup pair graph — shared by q_dedup_clusters and
-    q_dedup_representatives."""
+    MinHash near-dup pair graph — shared by q_dedup_clusters,
+    q_dedup_representatives, and q_split_leakage_safe (memoized per
+    session: see _LABELS_CACHE)."""
+    key = (spark.sparkContext.applicationId, sf_dir, checkpoint_dir)
+    hit = _LABELS_CACHE.get(key)
+    if hit is not None:
+        return hit
     ckpt = _ckpt_factory(spark, checkpoint_dir)
     pairs = q_dedup_minhash(spark, sf_dir)
     edges = pairs.filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN).select(
@@ -1169,7 +1186,9 @@ def _cluster_labels(
     labels = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("rep")
     )
-    return connected_components(labels, sym, ckpt)
+    out = connected_components(labels, sym, ckpt)
+    _LABELS_CACHE[key] = out
+    return out
 
 
 def q_dedup_representatives(
