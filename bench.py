@@ -208,6 +208,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "events_span_reassembly",
         "tpch_revenue_by_nation",
         "infer_output_parse",
+        "media_video_frames",
     ]
     specs = all_queries()
     for name in headline:

@@ -333,3 +333,70 @@ def build_corpus(n_docs: int = 100, seed: int = 42, skew_monster_spans: int = 12
         docs.append({"doc_id": doc_id, "spans": spans})
 
     return docs, media
+
+
+# --------------------------------------------------------------------------
+# video fixture table (uncompressed DIB AVIs for the real no-PyAV path)
+# --------------------------------------------------------------------------
+
+VIDEO_TABLE_N = 24
+VIDEO_VERSION = "v1"
+
+
+def build_video_rows(n: int = VIDEO_TABLE_N, seed: int = 42) -> list[dict]:
+    """Deterministic uncompressed-AVI payloads (media_ref, png) — the
+    payload column keeps the generic binary-column name `png` per the
+    multimodal UDF contract. Each video: seeded base frame, 4-9 frames
+    of deterministic roll + brightness-step motion, sizes including
+    non-multiple-of-4 widths (exercising DIB row padding). Two planted
+    bad payloads pin the typed-failure paths: a truncated AVI (dropped
+    row) and a non-RIFF payload (single-frame stand-in row)."""
+    from ocr_spark.aviio import encode_avi_gray
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(17, 49))
+        nf = int(rng.integers(4, 10))
+        base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        frames = [
+            ((np.roll(base, 3 * k, axis=1).astype(np.int16) + 5 * k) % 256).astype(
+                np.uint8
+            )
+            for k in range(nf)
+        ]
+        rows.append(
+            {"media_ref": f"vid_{i:04d}", "png": encode_avi_gray(frames, fps=5)}
+        )
+    rows.append({"media_ref": "vid_bad_trunc", "png": rows[0]["png"][:50]})
+    rows.append(
+        {"media_ref": "vid_bad_codec", "png": b"\x00\x00\x00 ftypisom" + b"\x00" * 64}
+    )
+    return rows
+
+
+def video_table_dir() -> str:
+    """Deterministic video-fixture parquet under /tmp, cached per
+    version — the fixture_corpus_dir pattern."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_videos_{VIDEO_VERSION}_n{VIDEO_TABLE_N}",
+    )
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema([("media_ref", pa.string()), ("png", pa.binary())])
+        pq.write_table(
+            pa.Table.from_pylist(build_video_rows(), schema=schema),
+            os.path.join(d, "videos.parquet"),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d

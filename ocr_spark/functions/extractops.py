@@ -192,6 +192,32 @@ def q_media_quality_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(fn, schema)
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the deterministic AVI fixture table:
+    the real decoder per row (the pure-numpy uncompressed-AVI walker in
+    this container; PyAV when installed), every-Nth-frame stride, frames
+    reduced to md5 digests. The planted truncated AVI must vanish
+    (dropped row) and the planted non-RIFF payload must appear as the
+    single-frame stand-in — both shapes are part of the golden gate."""
+    import os
+
+    from ocr_spark.fixtures import video_table_dir
+    from ocr_spark.functions.golden import ensure_golden, video_frames_frame
+
+    ensure_golden()
+    vids = spark.read.parquet(
+        os.path.join(video_table_dir(), "videos.parquet")
+    )
+
+    def fn(batches):
+        for b in batches:
+            yield video_frames_frame(b)
+
+    return vids.mapInPandas(
+        fn, "media_ref string, frame_idx int, frame_md5 string"
+    )
+
+
 def _golden_sql(name: str) -> str:
     from ocr_spark.functions import golden
 
@@ -199,6 +225,7 @@ def _golden_sql(name: str) -> str:
         "pdf_metadata": golden.SQL_PDF_METADATA,
         "image_stats": golden.SQL_IMAGE_STATS,
         "quality": golden.SQL_QUALITY,
+        "video_frames": golden.SQL_VIDEO_FRAMES,
     }[name]
 
 
@@ -208,5 +235,8 @@ QUERIES = {
     "media_image_stats": QuerySpec(q_media_image_stats, _golden_sql("image_stats")),
     "media_quality_analysis": QuerySpec(
         q_media_quality_analysis, _golden_sql("quality")
+    ),
+    "media_video_frames": QuerySpec(
+        q_media_video_frames, _golden_sql("video_frames")
     ),
 }

@@ -28,9 +28,11 @@ import tempfile
 GOLDEN_DOCS = 60
 GOLDEN_SKEW = 24
 # bump when fixture generation, kernels, or golden schemas change
-GOLDEN_VERSION = "v2"  # v2: skew estimated on denoised view for noisy pages
+GOLDEN_VERSION = "v3"  # v3: + video_frames (AVI walker driver gate)
 
-_TABLES = ("extract_spans", "pdf_metadata", "image_stats", "quality")
+_TABLES = (
+    "extract_spans", "pdf_metadata", "image_stats", "quality", "video_frames"
+)
 
 
 def golden_dir() -> str:
@@ -118,6 +120,34 @@ def quality_frame(batch):
             }
         )
     return pd.DataFrame(rows, columns=QUALITY_COLS)
+
+
+VIDEO_EVERY_N = 3
+VIDEO_COLS = ["media_ref", "frame_idx", "frame_md5"]
+
+
+def video_frames_frame(batch):
+    """(media_ref, png[AVI]) pandas batch -> sampled-frame digest rows.
+    Runs the REAL frame-sampling UDF (PyAV when installed, the pure-numpy
+    AVI walker here) and reduces each frame PNG to its md5 — the
+    hash-gateable shape of the video path."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.multimodal import make_frame_sample_udf
+
+    (out,) = list(make_frame_sample_udf(every_n=VIDEO_EVERY_N)(iter([batch])))
+    return pd.DataFrame(
+        {
+            "media_ref": out["media_ref"],
+            "frame_idx": out["frame_idx"].astype("int32"),
+            "frame_md5": [
+                hashlib.md5(bytes(b)).hexdigest() for b in out["frame_png"]
+            ],
+        },
+        columns=VIDEO_COLS,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -215,6 +245,14 @@ def _build(out_dir: str) -> None:
         os.path.join(out_dir, "quality.parquet"),
     )
 
+    from ocr_spark.fixtures import build_video_rows
+
+    vids = pd.DataFrame(build_video_rows())
+    pq.write_table(
+        pa.Table.from_pandas(video_frames_frame(vids), preserve_index=False),
+        os.path.join(out_dir, "video_frames.parquet"),
+    )
+
 
 def ensure_golden() -> str:
     """Idempotently build the golden tables; returns their directory.
@@ -263,4 +301,8 @@ SQL_QUALITY = (
     "noise_level, skew_angle, contrast_ratio, brightness, estimated_dpi, "
     "has_text, is_inverted "
     f"FROM read_parquet('{golden_path('quality')}')"
+)
+SQL_VIDEO_FRAMES = (
+    "SELECT media_ref, frame_idx, frame_md5 "
+    f"FROM read_parquet('{golden_path('video_frames')}')"
 )

@@ -835,3 +835,27 @@ def test_substring_rewrite_removes_all_but_canonical(spark, tmp_path):
 
     r = compare_query(spark, str(d), "dedup_substring_rewrite", spec)
     assert r["ok"], r["detail"]
+
+
+def test_media_video_frames_real_and_typed_paths(spark):
+    """The video driver gate: hash-exact vs golden, AND the three row
+    shapes are all present — multi-frame real decodes at the every-Nth
+    stride, the planted non-RIFF payload as a single stand-in row, the
+    planted truncated AVI dropped entirely."""
+    from ocr_spark.functions.extractops import QUERIES, q_media_video_frames
+    from ocr_spark.functions.golden import VIDEO_EVERY_N
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(spark, sf, "media_video_frames", QUERIES["media_video_frames"])
+    assert r["ok"], r["detail"]
+
+    rows = q_media_video_frames(spark, sf).collect()
+    by_ref = {}
+    for row in rows:
+        by_ref.setdefault(row["media_ref"], []).append(row["frame_idx"])
+    assert "vid_bad_trunc" not in by_ref
+    assert by_ref["vid_bad_codec"] == [0]
+    multi = [v for k, v in by_ref.items() if k.startswith("vid_") and len(v) > 1]
+    assert multi, by_ref  # real decodes actually sampled multiple frames
+    for idxs in multi:
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, VIDEO_EVERY_N))
