@@ -209,6 +209,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "tpch_revenue_by_nation",
         "infer_output_parse",
         "media_video_frames",
+        "media_audio_features",
     ]
     specs = all_queries()
     for name in headline:

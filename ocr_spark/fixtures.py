@@ -400,3 +400,77 @@ def video_table_dir() -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+AUDIO_TABLE_N = 16
+AUDIO_VERSION = "v1"
+
+
+def build_audio_rows(n: int = AUDIO_TABLE_N, seed: int = 42) -> list[dict]:
+    """Deterministic PCM16 WAV payloads (media_ref, png) — the stdlib
+    `wave` fallback decodes these for real in this container (soundfile
+    when installed). Seeded sine + noise mixes at varying rates/lengths,
+    one stereo payload (mono-averaged by the decoder), one zero-frame
+    WAV (rms must be 0.0, not NaN), one non-audio payload (typed
+    decode_ok=false row)."""
+    import io
+    import wave
+
+    def wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        rate = int(rng.choice([8000, 16000, 22050]))
+        nsamp = int(rng.integers(400, 4000))
+        t = np.arange(nsamp)
+        freq = float(rng.uniform(100, 1000))
+        sig = 12000 * np.sin(2 * np.pi * freq * t / rate) + rng.normal(
+            0, 800, nsamp
+        )
+        rows.append(
+            {
+                "media_ref": f"aud_{i:04d}",
+                "png": wav(np.clip(sig, -32768, 32767), rate),
+            }
+        )
+    stereo = np.stack(
+        [np.full(600, 8000), np.full(600, -4000)], axis=1
+    ).reshape(-1)
+    rows.append({"media_ref": "aud_stereo", "png": wav(stereo, 8000, channels=2)})
+    rows.append({"media_ref": "aud_empty", "png": wav(np.zeros(0), 8000)})
+    rows.append({"media_ref": "aud_bad", "png": b"not audio at all"})
+    return rows
+
+
+def audio_table_dir() -> str:
+    """Deterministic audio-fixture parquet under /tmp, cached per
+    version — the fixture_corpus_dir pattern."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_audio_{AUDIO_VERSION}_n{AUDIO_TABLE_N}",
+    )
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema([("media_ref", pa.string()), ("png", pa.binary())])
+        pq.write_table(
+            pa.Table.from_pylist(build_audio_rows(), schema=schema),
+            os.path.join(d, "audio.parquet"),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d

@@ -218,6 +218,27 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over the deterministic WAV fixture table: real
+    per-row decode (stdlib PCM16 WAV here, soundfile when installed) —
+    mono-averaged stereo, a zero-frame WAV pinning rms 0.0, and a
+    non-audio payload pinning the typed decode_ok=false row."""
+    import os
+
+    from ocr_spark.fixtures import audio_table_dir
+    from ocr_spark.functions.golden import audio_features_frame, ensure_golden
+    from ocr_spark.multimodal import AUDIO_FEATURES_SCHEMA
+
+    ensure_golden()
+    auds = spark.read.parquet(os.path.join(audio_table_dir(), "audio.parquet"))
+
+    def fn(batches):
+        for b in batches:
+            yield audio_features_frame(b)
+
+    return auds.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 def _golden_sql(name: str) -> str:
     from ocr_spark.functions import golden
 
@@ -226,6 +247,7 @@ def _golden_sql(name: str) -> str:
         "image_stats": golden.SQL_IMAGE_STATS,
         "quality": golden.SQL_QUALITY,
         "video_frames": golden.SQL_VIDEO_FRAMES,
+        "audio_features": golden.SQL_AUDIO_FEATURES,
     }[name]
 
 
@@ -238,5 +260,8 @@ QUERIES = {
     ),
     "media_video_frames": QuerySpec(
         q_media_video_frames, _golden_sql("video_frames")
+    ),
+    "media_audio_features": QuerySpec(
+        q_media_audio_features, _golden_sql("audio_features")
     ),
 }

@@ -28,10 +28,11 @@ import tempfile
 GOLDEN_DOCS = 60
 GOLDEN_SKEW = 24
 # bump when fixture generation, kernels, or golden schemas change
-GOLDEN_VERSION = "v3"  # v3: + video_frames (AVI walker driver gate)
+GOLDEN_VERSION = "v4"  # v3: + video_frames; v4: + audio_features
 
 _TABLES = (
-    "extract_spans", "pdf_metadata", "image_stats", "quality", "video_frames"
+    "extract_spans", "pdf_metadata", "image_stats", "quality",
+    "video_frames", "audio_features",
 )
 
 
@@ -150,6 +151,18 @@ def video_frames_frame(batch):
     )
 
 
+AUDIO_COLS = ["media_ref", "n_samples", "duration_s", "rms", "decode_ok"]
+
+
+def audio_features_frame(batch):
+    """(media_ref, png[WAV]) pandas batch -> typed audio-feature rows via
+    the REAL decoder (soundfile when installed, stdlib PCM16-WAV here)."""
+    from ocr_spark.multimodal import make_audio_features_udf
+
+    (out,) = list(make_audio_features_udf()(iter([batch])))
+    return out
+
+
 # --------------------------------------------------------------------------
 # golden build
 # --------------------------------------------------------------------------
@@ -245,12 +258,17 @@ def _build(out_dir: str) -> None:
         os.path.join(out_dir, "quality.parquet"),
     )
 
-    from ocr_spark.fixtures import build_video_rows
+    from ocr_spark.fixtures import build_audio_rows, build_video_rows
 
     vids = pd.DataFrame(build_video_rows())
     pq.write_table(
         pa.Table.from_pandas(video_frames_frame(vids), preserve_index=False),
         os.path.join(out_dir, "video_frames.parquet"),
+    )
+    auds = pd.DataFrame(build_audio_rows())
+    pq.write_table(
+        pa.Table.from_pandas(audio_features_frame(auds), preserve_index=False),
+        os.path.join(out_dir, "audio_features.parquet"),
     )
 
 
@@ -305,4 +323,8 @@ SQL_QUALITY = (
 SQL_VIDEO_FRAMES = (
     "SELECT media_ref, frame_idx, frame_md5 "
     f"FROM read_parquet('{golden_path('video_frames')}')"
+)
+SQL_AUDIO_FEATURES = (
+    "SELECT media_ref, n_samples, duration_s, rms, decode_ok "
+    f"FROM read_parquet('{golden_path('audio_features')}')"
 )

@@ -859,3 +859,25 @@ def test_media_video_frames_real_and_typed_paths(spark):
     assert multi, by_ref  # real decodes actually sampled multiple frames
     for idxs in multi:
         assert sorted(idxs) == list(range(0, max(idxs) + 1, VIDEO_EVERY_N))
+
+
+def test_media_audio_features_typed_paths(spark):
+    """The audio driver gate: hash-exact vs golden, plus the planted
+    shapes — stereo mono-averages to the exact mean amplitude, the
+    zero-frame WAV reports rms 0.0 (never NaN), the non-audio payload
+    becomes a typed decode_ok=false row."""
+    from ocr_spark.functions.extractops import QUERIES, q_media_audio_features
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(
+        spark, sf, "media_audio_features", QUERIES["media_audio_features"]
+    )
+    assert r["ok"], r["detail"]
+
+    rows = {x["media_ref"]: x for x in q_media_audio_features(spark, sf).collect()}
+    assert rows["aud_empty"]["decode_ok"] and rows["aud_empty"]["rms"] == 0.0
+    assert not rows["aud_bad"]["decode_ok"]
+    # stereo (8000, -4000) mono-averages to 2000/32768
+    assert abs(rows["aud_stereo"]["rms"] - 2000 / 32768.0) < 1e-6
+    assert rows["aud_stereo"]["n_samples"] == 600
+    assert all(rows[f"aud_{i:04d}"]["decode_ok"] for i in range(16))
