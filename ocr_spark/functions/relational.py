@@ -298,6 +298,65 @@ GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 unshipped orders of one
+    market segment by pending revenue (this schema carries
+    o_orderpriority instead of o_shippriority). Plan discipline: the
+    segment-filtered customer dim broadcasts, both date filters push to
+    the scans, revenue aggregates as integer cents on the single
+    l_orderkey shuffle, and the top-10 compiles to
+    TakeOrderedAndProject — no global sort of the order set."""
+    _pin_utc(spark)  # date_format over naive timestamps (see q_rollup)
+    cutoff = "1998-06-01"
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+    )
+    return agg.orderBy(
+        F.desc("revenue_cents"), F.asc("orderkey")
+    ).limit(10)
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH agg AS (
+  SELECT l.l_orderkey AS orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         o.o_orderpriority AS priority,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 2, 3
+)
+SELECT orderkey, orderdate, priority, revenue_cents
+FROM agg ORDER BY revenue_cents DESC, orderkey LIMIT 10
+"""
+
+
 QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -307,5 +366,8 @@ QUERIES = {
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
         q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND
+    ),
+    "tpch_q3_shipping_priority": QuerySpec(
+        q_shipping_priority, SQL_SHIPPING_PRIORITY
     ),
 }

@@ -441,3 +441,18 @@ def test_substring_rewrite_single_text_shuffle(spark):
         and ("text#" in l or "ws#" in l)
     ]
     assert len(text_exchanges) <= 1, plan
+
+
+def test_q3_broadcast_pushdown_takeordered(spark):
+    """TPC-H Q3 shape: the segment-filtered customer dim joins as a
+    broadcast (no lineitem shuffle for the dim), both date filters reach
+    the parquet scans as PushedFilters, and the top-10 compiles to
+    TakeOrderedAndProject."""
+    from ocr_spark.functions.relational import q_shipping_priority
+
+    plan = _plan(q_shipping_priority(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l and "GreaterThan" in l for l in pushed), plan
+    assert any("o_orderdate" in l and "LessThan" in l for l in pushed), plan
