@@ -203,6 +203,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_ann_ivf",
         "embedding_ann_ivf_trained",
         "ivf_train_kmeans",
+        "embedding_pq_encode",
         "events_sessionize",
         "events_rollup_stream",
         "events_span_reassembly",

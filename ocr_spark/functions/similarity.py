@@ -815,6 +815,122 @@ FROM cent{KM_ITERS} c LEFT JOIN fcnt f USING (cid), range(1, {DIM} + 1) r(i)
 SQL_IVF_TRAIN_KMEANS = _sql_ivf_train_kmeans()
 
 
+# --------------------------------------------------------------------------
+# product quantization (the PQ half of IVFADC — Jégou et al., TPAMI 2011)
+# --------------------------------------------------------------------------
+
+# Compresses every embedding to PQ_M sub-codes: dimension blocks of
+# PQ_DSUB assign independently to a PQ_KSUB-entry codebook per
+# subspace. 100 TB shape: the whole encode is ONE map-side projection
+# over the embeddings scan — codebooks are literal constants, no join,
+# no Window, no Exchange (plan-test) — and the output is (vec_id, m,
+# code, d_q), 64 bits of code per vector where the raw embedding is
+# 2 Kbit. Exactness discipline: subvectors quantize to BIGINT
+# (round(x * KM_Q)) and the assignment metric is INTEGER squared L2, so
+# Spark and the oracle compare identical integers — no float parity
+# surface at all. Codebooks here are the deterministic first-KSUB
+# subvectors (the same honest stand-in as q_ann_ivf's first-K
+# quantizer); swapping in trained codebooks changes recall, not the
+# plan or the gate.
+PQ_M = 8  # subspaces
+PQ_DSUB = DIM // PQ_M  # dims per subspace
+PQ_KSUB = 16  # codes per subspace
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """codebooks[m][code] = quantized subvector (list of PQ_DSUB ints)
+    from the lowest-PQ_KSUB vec_ids — KSUB tiny rows collected, the
+    same bounded driver collect as the first-K IVF centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KSUB)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = []
+    for m in range(PQ_M):
+        lo = m * PQ_DSUB
+        books.append(
+            [
+                [int(round(v * KM_Q)) for v in vec[lo : lo + PQ_DSUB]]
+                for _, vec in rows
+            ]
+        )
+    return books
+
+
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    eq = _km_eq_col().alias("eq")
+
+    def sub_d(m: int, code_vec: list[int]):
+        terms = [
+            (F.col("eq")[m * PQ_DSUB + k] - F.lit(code_vec[k])) ** 2
+            for k in range(PQ_DSUB)
+        ]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        return d.cast("long")
+
+    books = _pq_codebooks(spark, sf_dir)
+    per_m = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_d(m, books[m][c]).alias("d_q"),
+                        F.lit(c).alias("code"),
+                    )
+                    for c in range(PQ_KSUB)
+                ]
+            )
+        )
+        for m in range(PQ_M)
+    ]
+    return (
+        emb.select("vec_id", eq)
+        .select("vec_id", F.posexplode(F.array(*per_m)).alias("m", "best"))
+        .select(
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("best.code").alias("code"),
+            F.col("best.d_q").alias("d_q"),
+        )
+    )
+
+
+SQL_EMBEDDING_PQ = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+), cb AS (
+  SELECT vec_id AS code,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS cq
+  FROM embeddings WHERE vec_id < {PQ_KSUB}
+), scored AS (
+  SELECT b.vec_id, m.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (b.eq[m.m * {PQ_DSUB} + k]
+                                - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
+           (x, y) -> x + y) AS d_q
+  FROM base b, range(0, {PQ_M}) m(m), cb c
+), ranked AS (
+  SELECT vec_id, m, code, d_q,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d_q, code) AS rk
+  FROM scored
+)
+SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+       CAST(d_q AS BIGINT) AS d_q
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
@@ -822,4 +938,5 @@ QUERIES = {
     "embedding_ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
     "embedding_ann_ivf_trained": QuerySpec(q_ann_ivf_trained, sql_ann_ivf_trained),
     "ivf_train_kmeans": QuerySpec(q_ivf_train_kmeans, SQL_IVF_TRAIN_KMEANS),
+    "embedding_pq_encode": QuerySpec(q_embedding_pq_encode, SQL_EMBEDDING_PQ),
 }

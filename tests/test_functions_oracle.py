@@ -881,3 +881,27 @@ def test_media_audio_features_typed_paths(spark):
     assert abs(rows["aud_stereo"]["rms"] - 2000 / 32768.0) < 1e-6
     assert rows["aud_stereo"]["n_samples"] == 600
     assert all(rows[f"aud_{i:04d}"]["decode_ok"] for i in range(16))
+
+
+def test_pq_encode_oracle_and_self_codes(spark):
+    """PQ sanity: hash-exact vs the oracle, every vector emits exactly
+    PQ_M sub-codes, and the codebook vectors themselves (vec_id <
+    PQ_KSUB) encode to their own code with zero distance in every
+    subspace — the integer-exact analogue of 'reconstruction error of a
+    codeword is 0'."""
+    from ocr_spark.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(
+        spark, sf, "embedding_pq_encode", S.QUERIES["embedding_pq_encode"]
+    )
+    assert r["ok"], r["detail"]
+
+    rows = S.q_embedding_pq_encode(spark, sf).collect()
+    per_vec = {}
+    for row in rows:
+        per_vec.setdefault(row["vec_id"], []).append(row)
+    assert all(len(v) == S.PQ_M for v in per_vec.values())
+    for vid in range(S.PQ_KSUB):
+        for row in per_vec[vid]:
+            assert row["code"] == vid and row["d_q"] == 0, row

@@ -456,3 +456,16 @@ def test_q3_broadcast_pushdown_takeordered(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_shipdate" in l and "GreaterThan" in l for l in pushed), plan
     assert any("o_orderdate" in l and "LessThan" in l for l in pushed), plan
+
+
+def test_pq_encode_is_map_side_only(spark):
+    """PQ encoding is ONE projection over the embeddings scan: literal
+    codebooks, integer squared-L2 argmin per subspace — no Exchange, no
+    Window, no Join anywhere in the plan. The compressing pass over a
+    10^12-row corpus must never shuffle it."""
+    from ocr_spark.functions.similarity import q_embedding_pq_encode
+
+    plan = _plan(q_embedding_pq_encode(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in tree, plan
+    assert "Window" not in tree and "Join" not in tree, plan
