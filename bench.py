@@ -122,7 +122,8 @@ def _ann_recall(spark, sf_dir: str) -> dict:
 
     truth = pairs("embedding_cosine_topk")
     out = {"k": S.IVF_TOPK, "defaults": {"ivf_k": S.IVF_K, "nprobe": S.IVF_NPROBE}}
-    for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained"):
+    for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained",
+                 "embedding_ann_adc"):
         out[name] = round(len(pairs(name) & truth) / len(truth), 3)
     curve = []
     for ck in (16, 32, 64):
@@ -204,6 +205,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_ann_ivf_trained",
         "ivf_train_kmeans",
         "embedding_pq_encode",
+        "embedding_ann_adc",
         "events_sessionize",
         "events_rollup_stream",
         "events_span_reassembly",

@@ -931,6 +931,114 @@ FROM ranked WHERE rk = 1
 """
 
 
+# --------------------------------------------------------------------------
+# ADC search over PQ codes (the asymmetric-distance half of IVFADC)
+# --------------------------------------------------------------------------
+
+# Queries stay exact, the corpus is its PQ codes: distance(q, x) ≈
+# sum_m LUT[q][m][code_m(x)] where LUT holds the integer squared L2
+# from the query's m-th quantized subvector to each codebook entry.
+# Shapes: the LUT frame is n_queries x PQ_M x PQ_KSUB rows (tiny —
+# built by crossing the query frame with a literal codebook relation,
+# then BROADCAST), the per-code join is map-side against it, and the
+# only shuffles are the (query_id, vec_id) distance sum and the
+# per-query top-K window. At the 100 TB design point ADC runs inside
+# IVF-probed lists rather than the whole code table (full IVFADC); the
+# ranking math and the gate are identical either way. Integer-exact end
+# to end — the gate compares exact BIGINTs.
+ADC_TOPK = 5
+
+
+def q_embedding_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    codes = q_embedding_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    books = _pq_codebooks(spark, sf_dir)
+    cb = spark.createDataFrame(
+        [(m, c, books[m][c]) for m in range(PQ_M) for c in range(PQ_KSUB)],
+        "m int, code int, cq array<long>",
+    )
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), _km_eq_col().alias("qe"))
+    )
+    ld = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, PQ_DSUB),
+            F.col("cq"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(cb).select("query_id", "m", "code", ld.alias("ld"))
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ADC_TOPK)
+        .select("query_id", "neighbor_id", "rnk", "adc_d")
+    )
+
+
+SQL_EMBEDDING_ADC = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+), cb AS (
+  SELECT vec_id AS code,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS cq
+  FROM embeddings WHERE vec_id < {PQ_KSUB}
+), pqscored AS (
+  SELECT b.vec_id, m.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (b.eq[m.m * {PQ_DSUB} + k]
+                                - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
+           (x, y) -> x + y) AS d_q
+  FROM base b, range(0, {PQ_M}) m(m), cb c
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d_q, code) AS rk
+    FROM pqscored
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, eq AS qe FROM base WHERE vec_id % {QUERY_MOD} = 0
+), lut AS (
+  SELECT q.query_id, m.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (q.qe[m.m * {PQ_DSUB} + k]
+                                - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
+           (x, y) -> x + y) AS ld
+  FROM q, range(0, {PQ_M}) m(m), cb c
+), s AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rnk, adc_d FROM (
+  SELECT query_id, neighbor_id, adc_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d, neighbor_id) AS rnk
+  FROM s
+) WHERE rnk <= {ADC_TOPK}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
@@ -939,4 +1047,5 @@ QUERIES = {
     "embedding_ann_ivf_trained": QuerySpec(q_ann_ivf_trained, sql_ann_ivf_trained),
     "ivf_train_kmeans": QuerySpec(q_ivf_train_kmeans, SQL_IVF_TRAIN_KMEANS),
     "embedding_pq_encode": QuerySpec(q_embedding_pq_encode, SQL_EMBEDDING_PQ),
+    "embedding_ann_adc": QuerySpec(q_embedding_ann_adc, SQL_EMBEDDING_ADC),
 }

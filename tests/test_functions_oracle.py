@@ -905,3 +905,31 @@ def test_pq_encode_oracle_and_self_codes(spark):
     for vid in range(S.PQ_KSUB):
         for row in per_vec[vid]:
             assert row["code"] == vid and row["d_q"] == 0, row
+
+
+def test_adc_oracle_and_recall_positive(spark):
+    """ADC over PQ codes: hash-exact vs the oracle, each query gets
+    exactly ADC_TOPK ranked neighbors, and the compressed-domain ranking
+    retrieves a nonzero fraction of the exact-cosine top-k (PQ with
+    first-K codebooks on i.i.d. vectors is lossy — the gate pins the
+    machinery, bench reports the recall curve)."""
+    from ocr_spark.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    r = compare_query(
+        spark, sf, "embedding_ann_adc", S.QUERIES["embedding_ann_adc"]
+    )
+    assert r["ok"], r["detail"]
+
+    adc = S.q_embedding_ann_adc(spark, sf).collect()
+    per_q = {}
+    for row in adc:
+        per_q.setdefault(row["query_id"], []).append(row)
+    assert all(len(v) == S.ADC_TOPK for v in per_q.values())
+    truth = {
+        (row["query_id"], row["neighbor_id"])
+        for row in S.q_cosine_topk(spark, sf).collect()
+        if row["rnk"] <= S.ADC_TOPK
+    }
+    got = {(row["query_id"], row["neighbor_id"]) for row in adc}
+    assert len(got & truth) > 0
