@@ -184,6 +184,162 @@ GROUP BY user_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each `click` event picks the
+    most recent `view` by the same user with view.ts <= click.ts — the
+    operator Spark lacks natively (pandas merge_asof / QuestDB ASOF
+    JOIN semantics; tie on equal ts broken toward the larger event_id).
+
+    100 TB shape: NOT a per-click range probe. Both streams union and a
+    SINGLE window pass per user carries the last-seen view forward
+    (last(ignorenulls) over rows UNBOUNDED PRECEDING..CURRENT) — one
+    hash shuffle on user_id, linear work, no candidate blow-up no
+    matter how many views precede a click. The three carried view
+    columns are non-null on exactly the same rows, so last() picks them
+    from the same matched view. Output is integer-exact: microsecond
+    lag (unix_micros == DuckDB epoch_us; the NTZ->TZ cast resolves in
+    the pinned-UTC session) and value millis."""
+    _pin_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("v_eid"),
+        us.alias("v_us"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_milli"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("v_eid"),
+        F.lit(None).cast("long").alias("v_us"),
+        F.lit(None).cast("long").alias("v_milli"),
+    )
+    # views sort before clicks at equal ts (kind 0 < 1) -> inclusive;
+    # equal-ts views resolve to the max event_id (last in order)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        views.unionByName(clicks)
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            "kind",
+            F.last("v_eid", ignorenulls=True).over(w).alias("view_event_id"),
+            F.last("v_us", ignorenulls=True).over(w).alias("m_us"),
+            F.last("v_milli", ignorenulls=True).over(w).alias(
+                "view_value_milli"
+            ),
+        )
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.col("us") - F.col("m_us")).alias("lag_us"),
+        "view_value_milli",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS vus,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vmilli
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT c.event_id, c.user_id,
+         v.event_id AS view_event_id,
+         CAST(c.cus - v.vus AS BIGINT) AS lag_us,
+         v.vmilli AS view_value_milli,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.vus DESC, v.event_id DESC) AS rk
+  FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.vus <= c.cus
+)
+SELECT event_id, user_id, view_event_id, lag_us, view_value_milli
+FROM j WHERE rk = 1
+"""
+
+
+RANGE_WIN_US = 600_000_000  # 10-minute incident window, microseconds
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: every `error` event opens a 10-minute
+    incident window [ts, ts+10min); count the events (any type, the
+    error itself included) falling inside each window.
+
+    100 TB shape: a raw inequality join is a broadcast-nested-loop (or
+    an O(n*m) per-key probe). Instead both sides key on fixed-width
+    time buckets the size of the window: each interval overlaps at most
+    2 buckets (exploded interval side), each event lands in exactly 1,
+    so the join is an EQUI-join on bucket with a residual microsecond
+    filter — shuffle-partitionable, linear, skew bounded by events per
+    10 minutes. The window width is the bucket width by construction;
+    wider intervals would explode to ceil(len/W)+1 keys."""
+    _pin_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), us.alias("ius")
+    )
+    w = F.lit(RANGE_WIN_US)
+    inc_b = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("ius") / w),
+                    F.floor((F.col("ius") + w - 1) / w),
+                )
+            )
+        ),
+    )
+    evs = ev.select(
+        us.alias("eus"),
+        "user_id",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vmilli"),
+        F.floor(us / w).alias("bucket"),
+    )
+    joined = inc_b.join(evs, "bucket").filter(
+        (F.col("eus") >= F.col("ius")) & (F.col("eus") < F.col("ius") + w)
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("vmilli").alias("value_millis"),
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS ius
+  FROM events WHERE event_type = 'error'
+), ev AS (
+  SELECT epoch_us(ts) AS eus, user_id,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vmilli
+  FROM events
+)
+SELECT incident_id,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(vmilli) AS BIGINT) AS value_millis
+FROM inc JOIN ev ON ev.eus >= inc.ius AND ev.eus < inc.ius + {RANGE_WIN_US}
+GROUP BY 1
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dimensions — the
     plan a 100 TB fact scan wants (no shuffle of lineitem for the dims)."""
@@ -363,6 +519,8 @@ QUERIES = {
     "events_rollup": QuerySpec(q_rollup, SQL_ROLLUP),
     "events_rollup_stream": QuerySpec(q_rollup_stream, SQL_ROLLUP_STREAM),
     "events_span_reassembly": QuerySpec(q_span_reassembly, SQL_SPAN_REASSEMBLY),
+    "events_asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "events_range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
         q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND

@@ -469,3 +469,30 @@ def test_pq_encode_is_map_side_only(spark):
     tree = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in tree, plan
     assert "Window" not in tree and "Join" not in tree, plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """The as-of join must stay the union + single-window-pass plan:
+    exactly one Exchange (hash on user_id) and NO join operator at all —
+    a regression to a per-click range probe would appear as a Join (or
+    worse, a nested loop) here."""
+    from ocr_spark.functions.relational import q_asof_join
+
+    plan = _plan(q_asof_join(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert tree.count("Exchange") <= 2, plan  # tree + detail listing
+    assert "Join" not in tree and "CartesianProduct" not in tree, plan
+    assert "Window" in tree, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The interval join must execute as an equi-join on the time
+    bucket (hash/broadcast-hash), never a BroadcastNestedLoopJoin or
+    CartesianProduct — the O(n*m) shapes Spark picks for raw
+    inequality-only joins."""
+    from ocr_spark.functions.relational import q_range_join
+
+    plan = _plan(q_range_join(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "NestedLoop" not in tree and "CartesianProduct" not in tree, plan
+    assert "HashJoin" in tree or "SortMergeJoin" in tree, plan
