@@ -864,31 +864,38 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     eq = _km_eq_col().alias("eq")
 
-    def sub_d(m: int, code_vec: list[int]):
-        terms = [
-            (F.col("eq")[m * PQ_DSUB + k] - F.lit(code_vec[k])) ** 2
-            for k in range(PQ_DSUB)
-        ]
-        d = terms[0]
-        for t in terms[1:]:
-            d = d + t
-        return d.cast("long")
-
     books = _pq_codebooks(spark, sf_dir)
-    per_m = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_d(m, books[m][c]).alias("d_q"),
-                        F.lit(c).alias("code"),
-                    )
-                    for c in range(PQ_KSUB)
-                ]
-            )
+
+    def per_m_best(m: int):
+        # codebook as ONE literal array<array<long>> walked by transform
+        # lambdas: janino compiles a loop, not PQ_KSUB x PQ_DSUB unrolled
+        # expressions — the unrolled form blew whole-stage codegen's
+        # 64 KB method limit and silently fell back to interpreted
+        # projection for the entire encode stage. Integer math is
+        # unchanged: (x-y)*(x-y) summed as BIGINT equals the former
+        # double-pow-then-cast exactly (values < 2^53), and array_min
+        # over (d_q, code) structs keeps the same tie rule.
+        book = F.array(
+            *[
+                F.array(*[F.lit(v) for v in books[m][c]])
+                for c in range(PQ_KSUB)
+            ]
         )
-        for m in range(PQ_M)
-    ]
+        sub = F.slice(F.col("eq"), m * PQ_DSUB + 1, PQ_DSUB)
+        entries = F.transform(
+            book,
+            lambda cv, c: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d_q"),
+                c.cast("int").alias("code"),
+            ),
+        )
+        return F.array_min(entries)
+
+    per_m = [per_m_best(m) for m in range(PQ_M)]
     return (
         emb.select("vec_id", eq)
         .select("vec_id", F.posexplode(F.array(*per_m)).alias("m", "best"))
@@ -1039,6 +1046,164 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# full IVFADC: ADC ranking restricted to IVF-probed inverted lists
+# --------------------------------------------------------------------------
+
+# The complete Jégou et al. search: the corpus is (inverted list id,
+# PQ codes) — 8 bytes of code + one int per vector, never the raw
+# embedding — queries probe IVF_NPROBE lists and ADC-score only the
+# vectors inside them. 100 TB shapes, composed from the pieces above:
+# list assignment and PQ encode are map-side literal projections (zero
+# Exchange, plan-tested on their standalone queries), the probe is a
+# broadcast K-row centroid table, the LUT is broadcast (n_queries x
+# PQ_M x PQ_KSUB integer rows), and the only corpus shuffles carry
+# (cid/vec_id/m/code) ids. Integer-exact ADC distances gate against a
+# literal-free oracle that re-derives lists, codes, and LUT from the
+# table alone.
+
+
+def q_embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # id-only inverted lists: (cid, vec_id); the embedding never shuffles
+    lists = ivf_lists(emb, centroids).select("cid", "vec_id")
+    codes = q_embedding_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    books = _pq_codebooks(spark, sf_dir)
+    cb = spark.createDataFrame(
+        [(m, c, books[m][c]) for m in range(PQ_M) for c in range(PQ_KSUB)],
+        "m int, code int, cq array<long>",
+    )
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(cid, ce) for cid, ce in centroids], "cid int, ce array<float>"
+        )
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        _km_eq_col().alias("qe"),
+    )
+    # probe: nearest IVF_NPROBE centroids per query by the same rounded
+    # cosine + tie rule as _ivf_search's assign (window over the tiny
+    # query set only)
+    pscore = q.join(cent).select(
+        "query_id", "cid", _cos(F.col("qemb"), F.col("ce")).alias("csim")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        pscore.withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    ld = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, PQ_DSUB),
+            F.col("cq"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(cb).select("query_id", "m", "code", ld.alias("ld"))
+    cand = probes.join(lists, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ADC_TOPK)
+        .select("query_id", "neighbor_id", "rnk", "adc_d")
+    )
+
+
+SQL_EMBEDDING_IVFADC = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS crank
+    FROM embeddings e, cent c
+  ) WHERE crank = 1
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+), cb AS (
+  SELECT vec_id AS code,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS cq
+  FROM embeddings WHERE vec_id < {PQ_KSUB}
+), pqscored AS (
+  SELECT b.vec_id, m.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (b.eq[m.m * {PQ_DSUB} + k]
+                                - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
+           (x, y) -> x + y) AS d_q
+  FROM base b, range(0, {PQ_M}) m(m), cb c
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d_q, code) AS rk
+    FROM pqscored
+  ) WHERE rk = 1
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qemb, b.eq AS qe
+  FROM embeddings e JOIN base b USING (vec_id)
+  WHERE e.vec_id % {QUERY_MOD} = 0
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qemb', 'c.ce')} DESC, c.cid) AS crank
+    FROM q, cent c
+  ) WHERE crank <= {IVF_NPROBE}
+), lut AS (
+  SELECT q.query_id, m.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (q.qe[m.m * {PQ_DSUB} + k]
+                                - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
+           (x, y) -> x + y) AS ld
+  FROM q, range(0, {PQ_M}) m(m), cb c
+), cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+  WHERE a.vec_id != p.query_id
+), s AS (
+  SELECT c.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = cd.m AND l.code = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rnk, adc_d FROM (
+  SELECT query_id, neighbor_id, adc_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d, neighbor_id) AS rnk
+  FROM s
+) WHERE rnk <= {ADC_TOPK}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
@@ -1048,4 +1213,7 @@ QUERIES = {
     "ivf_train_kmeans": QuerySpec(q_ivf_train_kmeans, SQL_IVF_TRAIN_KMEANS),
     "embedding_pq_encode": QuerySpec(q_embedding_pq_encode, SQL_EMBEDDING_PQ),
     "embedding_ann_adc": QuerySpec(q_embedding_ann_adc, SQL_EMBEDDING_ADC),
+    "embedding_ann_ivfadc": QuerySpec(
+        q_embedding_ann_ivfadc, SQL_EMBEDDING_IVFADC
+    ),
 }

@@ -496,3 +496,17 @@ def test_range_join_is_bucketed_equi_join(spark):
     tree = plan.split("== Physical Plan ==")[-1]
     assert "NestedLoop" not in tree and "CartesianProduct" not in tree, plan
     assert "HashJoin" in tree or "SortMergeJoin" in tree, plan
+
+
+def test_ivfadc_corpus_joins_are_hash_joins(spark):
+    """Full IVFADC: the only nested-loop joins allowed are the two
+    query-side constant-size crosses (queries x codebook for the LUT,
+    queries x centroids for probes — both broadcast). Every join that
+    touches a corpus-sized frame (lists, codes) must be a hash join;
+    a CartesianProduct anywhere is a regression."""
+    from ocr_spark.functions.similarity import q_embedding_ann_ivfadc
+
+    df = q_embedding_ann_ivfadc(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
