@@ -933,3 +933,97 @@ def test_adc_oracle_and_recall_positive(spark):
     }
     got = {(row["query_id"], row["neighbor_id"]) for row in adc}
     assert len(got & truth) > 0
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    d = tmp_path / "events_crafted"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def test_asof_join_tie_and_no_match_semantics(spark, tmp_path):
+    """The as-of join's subtle cases, planted explicitly: a view at the
+    click's EXACT timestamp matches (backward-inclusive); two views at
+    the same timestamp resolve to the larger event_id; a click before
+    any view gets NULL view columns; a later view never matches. Plus
+    oracle parity on the same crafted table."""
+    from datetime import datetime as DT
+
+    from ocr_spark.functions.relational import QUERIES
+
+    t = lambda s: DT.fromisoformat(s)  # noqa: E731
+    rows = [
+        # user 1: click at the exact ts of two tied views -> view 12 wins
+        dict(event_id=10, ts=t("2024-01-01T10:00:00"), user_id=1,
+             event_type="view", value=1.0, props="{}"),
+        dict(event_id=12, ts=t("2024-01-01T10:00:00"), user_id=1,
+             event_type="view", value=2.0, props="{}"),
+        dict(event_id=13, ts=t("2024-01-01T10:00:00"), user_id=1,
+             event_type="click", value=0.0, props="{}"),
+        # user 2: click BEFORE its only view -> no match
+        dict(event_id=20, ts=t("2024-01-01T09:00:00"), user_id=2,
+             event_type="click", value=0.0, props="{}"),
+        dict(event_id=21, ts=t("2024-01-01T09:30:00"), user_id=2,
+             event_type="view", value=3.0, props="{}"),
+        # user 2: later click picks that view, microsecond lag exact
+        dict(event_id=22, ts=t("2024-01-01T09:30:00.000001"), user_id=2,
+             event_type="click", value=0.0, props="{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    spec = QUERIES["events_asof_join"]
+    got = {r["event_id"]: r for r in spec.fn(spark, sf).collect()}
+    assert got[13]["view_event_id"] == 12 and got[13]["lag_us"] == 0
+    assert got[20]["view_event_id"] is None and got[20]["lag_us"] is None
+    assert got[22]["view_event_id"] == 21 and got[22]["lag_us"] == 1
+    r = compare_query(spark, sf, "events_asof_join", spec)
+    assert r["ok"], r["detail"]
+
+
+def test_range_join_window_boundaries(spark, tmp_path):
+    """Interval membership is [ts, ts+10min): an event AT the error's
+    timestamp and one at +10min-1us are in; one exactly at +10min is
+    out — including when the window crosses a bucket boundary (the
+    2-bucket explode path). Oracle parity on the same crafted table."""
+    from datetime import datetime as DT
+
+    from ocr_spark.functions.relational import QUERIES
+
+    t = lambda s: DT.fromisoformat(s)  # noqa: E731
+    rows = [
+        # error at 10:05 -> window [10:05, 10:15) crosses the 10:10
+        # bucket edge (buckets are 10-min aligned to the epoch)
+        dict(event_id=1, ts=t("2024-01-01T10:05:00"), user_id=1,
+             event_type="error", value=1.0, props="{}"),
+        dict(event_id=2, ts=t("2024-01-01T10:05:00"), user_id=2,
+             event_type="view", value=1.0, props="{}"),   # at start: in
+        dict(event_id=3, ts=t("2024-01-01T10:14:59.999999"), user_id=3,
+             event_type="view", value=1.0, props="{}"),   # last us: in
+        dict(event_id=4, ts=t("2024-01-01T10:15:00"), user_id=4,
+             event_type="view", value=1.0, props="{}"),   # at end: OUT
+        # second error far away so results have 2 rows
+        dict(event_id=5, ts=t("2024-02-01T00:00:00"), user_id=5,
+             event_type="error", value=1.0, props="{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    spec = QUERIES["events_range_join"]
+    got = {r["incident_id"]: r for r in spec.fn(spark, sf).collect()}
+    assert got[1]["n_events"] == 3  # the error itself + events 2 and 3
+    assert got[5]["n_events"] == 1
+    r = compare_query(spark, sf, "events_range_join", spec)
+    assert r["ok"], r["detail"]
