@@ -123,7 +123,8 @@ def _ann_recall(spark, sf_dir: str) -> dict:
     truth = pairs("embedding_cosine_topk")
     out = {"k": S.IVF_TOPK, "defaults": {"ivf_k": S.IVF_K, "nprobe": S.IVF_NPROBE}}
     for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained",
-                 "embedding_ann_adc", "embedding_ann_ivfadc"):
+                 "embedding_ann_adc", "embedding_ann_adc_trained",
+                 "embedding_ann_ivfadc"):
         out[name] = round(len(pairs(name) & truth) / len(truth), 3)
     curve = []
     for ck in (16, 32, 64):
@@ -206,6 +207,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "ivf_train_kmeans",
         "embedding_pq_encode",
         "embedding_ann_adc",
+        "embedding_ann_adc_trained",
         "embedding_ann_ivfadc",
         "events_sessionize",
         "events_asof_join",

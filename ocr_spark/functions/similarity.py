@@ -860,11 +860,10 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
     return books
 
 
-def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+def _pq_encode_with(emb: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, m, code, d_q) PQ codes against the given codebooks —
+    one map-side projection, codebooks inlined as literal arrays."""
     eq = _km_eq_col().alias("eq")
-
-    books = _pq_codebooks(spark, sf_dir)
 
     def per_m_best(m: int):
         # codebook as ONE literal array<array<long>> walked by transform
@@ -906,6 +905,11 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.d_q").alias("d_q"),
         )
     )
+
+
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _pq_encode_with(emb, _pq_codebooks(spark, sf_dir))
 
 
 SQL_EMBEDDING_PQ = f"""
@@ -956,11 +960,13 @@ FROM ranked WHERE rk = 1
 ADC_TOPK = 5
 
 
-def q_embedding_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _adc_search_with(
+    spark: SparkSession, sf_dir: str, books: list[list[list[int]]]
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    codes = q_embedding_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
-    books = _pq_codebooks(spark, sf_dir)
+    emb_all = load(spark, sf_dir, "embeddings")
+    codes = _pq_encode_with(emb_all, books).select("vec_id", "m", "code")
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(PQ_M) for c in range(PQ_KSUB)],
         "m int, code int, cq array<long>",
@@ -994,6 +1000,10 @@ def q_embedding_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ADC_TOPK)
         .select("query_id", "neighbor_id", "rnk", "adc_d")
     )
+
+
+def q_embedding_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_search_with(spark, sf_dir, _pq_codebooks(spark, sf_dir))
 
 
 SQL_EMBEDDING_ADC = f"""
@@ -1031,6 +1041,123 @@ WITH base AS (
                                 - c.cq[m.m * {PQ_DSUB} + k]) ** 2),
            (x, y) -> x + y) AS ld
   FROM q, range(0, {PQ_M}) m(m), cb c
+), s AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rnk, adc_d FROM (
+  SELECT query_id, neighbor_id, adc_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d, neighbor_id) AS rnk
+  FROM s
+) WHERE rnk <= {ADC_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# trained PQ codebooks: per-subspace k-means (the codebooks Jégou et al.
+# actually use — first-KSUB rows are the honest untrained stand-in)
+# --------------------------------------------------------------------------
+
+PQ_TRAIN_ITERS = 8
+
+_PQ_TRAIN_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def train_pq_codebooks(sf_dir: str) -> list[list[list[int]]]:
+    """Deterministic per-subspace L2 k-means over the same bounded
+    driver-side sample as train_centroids (_bounded_lowest_sample — at
+    most IVF_TRAIN_SAMPLE + one record batch held at once). Init =
+    evenly spaced sample rows, fixed iterations, empty clusters keep
+    their previous centroid; trained centroids quantize to the KM_Q
+    integer grid so the literals inlined into the Spark plan and the
+    DuckDB VALUES list are identical BIGINTs and every distance stays
+    integer-exact. Temp arrays are sample x KSUB x DSUB float64
+    (~4 MB) — far under the 32 MB malloc budget."""
+    cached = _PQ_TRAIN_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import os
+
+    import numpy as np
+
+    _, emb, _ = _bounded_lowest_sample(
+        os.path.join(sf_dir, "embeddings.parquet"), IVF_TRAIN_SAMPLE
+    )
+    books = []
+    for m in range(PQ_M):
+        sub = emb[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        init_idx = np.round(np.linspace(0, len(sub) - 1, PQ_KSUB)).astype(int)
+        cent = sub[init_idx].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # ties -> lowest code
+            for c in range(PQ_KSUB):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(
+            [
+                [int(round(float(v) * KM_Q)) for v in cent[c]]
+                for c in range(PQ_KSUB)
+            ]
+        )
+    _PQ_TRAIN_CACHE[sf_dir] = books
+    return books
+
+
+def q_embedding_ann_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search with k-means-trained codebooks: identical plan to
+    q_embedding_ann_adc (the encode and LUT are codebook-agnostic),
+    lower quantization distortion — bench.py reports the recall lift
+    over the first-KSUB stand-in codebooks."""
+    return _adc_search_with(spark, sf_dir, train_pq_codebooks(sf_dir))
+
+
+def sql_embedding_adc_trained(sf_dir: str) -> str:
+    """Oracle generated from the SAME trained codebooks as the Spark
+    plan (callable QuerySpec.sql — data-derived literals, resolved at
+    the driver's compare scale). Codebooks are (m, code, 8-dim BIGINT
+    list) rows, so the distance lambdas index cq[k] directly instead of
+    slicing a 64-dim vector."""
+    books = train_pq_codebooks(sf_dir)
+    rows = ", ".join(
+        "({}, {}, [{}])".format(m, c, ", ".join(str(v) for v in books[m][c]))
+        for m in range(PQ_M)
+        for c in range(PQ_KSUB)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+), cb AS (
+  SELECT * FROM (VALUES {rows}) v(m, code, cq)
+), pqscored AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (b.eq[c.m * {PQ_DSUB} + k] - c.cq[k]) ** 2),
+           (x, y) -> x + y) AS d_q
+  FROM base b, cb c
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d_q, code) AS rk
+    FROM pqscored
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, eq AS qe FROM base WHERE vec_id % {QUERY_MOD} = 0
+), lut AS (
+  SELECT q.query_id, c.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (q.qe[c.m * {PQ_DSUB} + k] - c.cq[k]) ** 2),
+           (x, y) -> x + y) AS ld
+  FROM q, cb c
 ), s AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
   FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
@@ -1213,6 +1340,9 @@ QUERIES = {
     "ivf_train_kmeans": QuerySpec(q_ivf_train_kmeans, SQL_IVF_TRAIN_KMEANS),
     "embedding_pq_encode": QuerySpec(q_embedding_pq_encode, SQL_EMBEDDING_PQ),
     "embedding_ann_adc": QuerySpec(q_embedding_ann_adc, SQL_EMBEDDING_ADC),
+    "embedding_ann_adc_trained": QuerySpec(
+        q_embedding_ann_adc_trained, sql_embedding_adc_trained
+    ),
     "embedding_ann_ivfadc": QuerySpec(
         q_embedding_ann_ivfadc, SQL_EMBEDDING_IVFADC
     ),

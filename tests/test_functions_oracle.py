@@ -1027,3 +1027,39 @@ def test_range_join_window_boundaries(spark, tmp_path):
     assert got[5]["n_events"] == 1
     r = compare_query(spark, sf, "events_range_join", spec)
     assert r["ok"], r["detail"]
+
+
+def test_trained_pq_codebooks_deterministic_integer_grid():
+    """The per-subspace k-means fit is deterministic (same sample, same
+    init, fixed iterations) and lands on the KM_Q integer grid: PQ_M
+    books of PQ_KSUB codes of PQ_DSUB BIGINTs, identical across calls
+    (the cache is an optimization, not the source of determinism —
+    clear it between calls)."""
+    from ocr_spark.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    S._PQ_TRAIN_CACHE.clear()
+    a = S.train_pq_codebooks(sf)
+    S._PQ_TRAIN_CACHE.clear()
+    b = S.train_pq_codebooks(sf)
+    assert a == b
+    assert len(a) == S.PQ_M
+    assert all(len(book) == S.PQ_KSUB for book in a)
+    assert all(len(c) == S.PQ_DSUB for book in a for c in book)
+    assert all(isinstance(v, int) for book in a for c in book for v in c)
+    # the fit actually moved off the first-KSUB stand-in codebooks
+    import os
+
+    from ocr_spark.functions.similarity import _bounded_lowest_sample
+
+    _, emb, _ = _bounded_lowest_sample(
+        os.path.join(sf, "embeddings.parquet"), S.PQ_KSUB
+    )
+    standin = [
+        [
+            [int(round(float(v) * S.KM_Q)) for v in row[m * S.PQ_DSUB:(m + 1) * S.PQ_DSUB]]
+            for row in emb
+        ]
+        for m in range(S.PQ_M)
+    ]
+    assert a != standin
