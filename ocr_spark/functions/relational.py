@@ -108,6 +108,37 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass: (event_type, day) detail
+    rows plus per-event_type subtotals plus the grand total via
+    ROLLUP grouping sets — the hypertable-style aggregate a dashboard
+    reads without re-scanning per granularity. grouping_id
+    disambiguates rolled-up NULLs from (hypothetical) NULL keys; sums
+    are integer millis so every level hashes exactly."""
+    _pin_utc(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value_milli").alias("value_millis"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_ROLLUP_SETS = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_millis,
+       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
 def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated run of the Structured Streaming windowed rollup
     (spark/streaming.stream_windowed_rollup): the events table streams
@@ -520,6 +551,7 @@ QUERIES = {
     "events_rollup_stream": QuerySpec(q_rollup_stream, SQL_ROLLUP_STREAM),
     "events_span_reassembly": QuerySpec(q_span_reassembly, SQL_SPAN_REASSEMBLY),
     "events_asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "events_rollup_sets": QuerySpec(q_rollup_sets, SQL_ROLLUP_SETS),
     "events_range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
