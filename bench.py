@@ -212,6 +212,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "events_sessionize",
         "events_asof_join",
         "events_range_join",
+        "events_rollup_sets",
         "events_rollup_stream",
         "events_span_reassembly",
         "tpch_revenue_by_nation",
