@@ -371,6 +371,241 @@ GROUP BY 1
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel per user: first `view`, first `click`
+    strictly after that view, first `purchase` strictly after that
+    click (the product-analytics sequence-match operator).
+
+    100 TB shape: NOT per-stage self-joins over the event log (each one
+    re-shuffles the fact table). A SINGLE window cascade on (user_id,
+    ts) carries the funnel state: a RANGE frame ending at -1 exposes
+    "earliest qualifying prior stage strictly before me by timestamp",
+    so stage-2/3 qualification is a projection, and the final per-user
+    aggregate reuses the window's hash partitioning — one Exchange for
+    the whole funnel. Strictness ties on equal microseconds resolve
+    identically in both engines (RANGE < current value == `us > t_k`)."""
+    _pin_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", us.alias("us"))
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    s1, s2, s3 = FUNNEL_STAGES
+    view_us = F.when(F.col("event_type") == s1, F.col("us"))
+    e = e.withColumn("t1_seen", F.min(view_us).over(wr))
+    e = e.withColumn(
+        "qc_us",
+        F.when(
+            (F.col("event_type") == s2) & F.col("t1_seen").isNotNull(),
+            F.col("us"),
+        ),
+    )
+    e = e.withColumn("t2_seen", F.min("qc_us").over(wr))
+    e = e.withColumn(
+        "qp_us",
+        F.when(
+            (F.col("event_type") == s3) & F.col("t2_seen").isNotNull(),
+            F.col("us"),
+        ),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min(view_us).alias("first_view_us"),
+        F.min("qc_us").alias("first_click_us"),
+        F.min("qp_us").alias("first_purchase_us"),
+    )
+    stage = (
+        F.when(F.col("first_purchase_us").isNotNull(), 3)
+        .when(F.col("first_click_us").isNotNull(), 2)
+        .when(F.col("first_view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id",
+        "first_view_us",
+        "first_click_us",
+        "first_purchase_us",
+        stage.cast("int").alias("stage"),
+    )
+
+
+# oracle: independent construction — per-stage min-after joins instead
+# of the window cascade, so the gate checks the SEMANTICS, not a
+# transliteration of the plan
+SQL_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND us > t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND us > t2 GROUP BY 1
+), u AS (
+  SELECT DISTINCT user_id FROM e
+)
+SELECT u.user_id,
+       t1 AS first_view_us, t2 AS first_click_us, t3 AS first_purchase_us,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic HyperLogLog distinct sketch (Flajolet et al. 2007)
+# --------------------------------------------------------------------------
+
+# countDistinct is the operator that does NOT scale: at 10^12 rows the
+# distinct shuffle carries every key. The sketch replaces it with m=256
+# integer registers that partial-aggregate map-side (max per register),
+# so the shuffle carries <= m rows per group regardless of input size.
+# Engine-portability discipline: Spark's approx_count_distinct and
+# DuckDB's approx sketches hash differently, so this is a from-scratch
+# HLL both engines compute IDENTICALLY from shared constants — portable
+# md5 60-bit hash (8 index bits + 52-bit rho window), integer-exact
+# registers and indicator sum (2^(53-M) terms, max 256*2^53 < 2^63), a
+# single literal/bigint division for the raw estimate, and the
+# small-range linear-counting branch precomputed in Python as a literal
+# lookup table so neither engine evaluates ln() at all.
+HLL_REG_BITS = 8
+HLL_M = 1 << HLL_REG_BITS  # 256 registers
+HLL_W_BITS = 60 - HLL_REG_BITS  # rho window of the 60-bit md5 hash
+_HLL_R = HLL_W_BITS + 1  # max rho; indicator term = 2^(R - M_j)
+# alpha_m * m^2 * 2^R — the whole raw-estimate numerator as ONE Python
+# float literal; the engines only divide it by the integer indicator
+_HLL_NUM = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << _HLL_R)
+_HLL_LC_THRESHOLD = 2.5 * HLL_M
+# linear-counting table: zeros -> round(m * ln(m / zeros), 3)
+import math as _math  # noqa: E402
+
+_HLL_LC = [
+    round(HLL_M * _math.log(HLL_M / z), 3) for z in range(1, HLL_M)
+]
+
+# rho = R - bit_length(w): position of the highest set bit via an exact
+# integer scan (log2() floors wrong within 1 ulp of exact powers; bin()
+# string formats differ across engines) — identical lambda both sides
+_RHO_SPARK = (
+    f"({_HLL_R} - coalesce(array_max(filter(transform("
+    f"sequence(1, {HLL_W_BITS}), "
+    f"p -> CASE WHEN (shiftright(w, p - 1) & CAST(1 AS BIGINT)) = 1 "
+    f"THEN p END), x -> x IS NOT NULL)), 0))"
+)
+_RHO_DUCK = (
+    f"({_HLL_R} - coalesce(list_max(list_filter(list_transform("
+    f"range(1, {HLL_W_BITS} + 1), "
+    f"p -> CASE WHEN ((w >> (p - 1)) & 1) = 1 THEN p END), "
+    f"x -> x IS NOT NULL)), 0))"
+)
+
+
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type, estimated by the deterministic
+    HLL sketch next to the exact countDistinct it replaces (the exact
+    column is the verification surface; at corpus scale only the
+    sketch runs). Duplicates hash to the same register update, so the
+    sketch aggregates the RAW event stream — no distinct shuffle."""
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = ev.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("reg"),
+        F.shiftright(h, HLL_REG_BITS).alias("w"),
+    )
+    regs = (
+        hashed.select("event_type", "reg", F.expr(_RHO_SPARK).alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_R} - mreg)")
+        ).alias("zsum"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    z = zeros * F.lit(1 << _HLL_R).cast("long") + F.col("zsum")
+    e_raw = F.lit(_HLL_NUM) / z.cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in _HLL_LC]), zeros.cast("int")
+    )
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(_HLL_LC_THRESHOLD)), lc
+    ).otherwise(F.round(e_raw, 3))
+    sketched = agg.select(
+        "event_type",
+        zeros.alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return sketched.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_zero_registers", "hll_estimate"
+    )
+
+
+_HLL_LC_SQL = "[" + ", ".join(repr(v) for v in _HLL_LC) + "]"
+
+SQL_DISTINCT_HLL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+), rw AS (
+  SELECT event_type, hh & {HLL_M - 1} AS reg, hh >> {HLL_REG_BITS} AS w
+  FROM h
+), rho AS (
+  SELECT event_type, reg, {_RHO_DUCK} AS rho FROM rw
+), regs AS (
+  SELECT event_type, reg, max(rho) AS mreg FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_R} - mreg)) AS BIGINT) AS zsum
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+         ({HLL_M} - n_present) * CAST({1 << _HLL_R} AS BIGINT) + zsum AS z
+  FROM agg
+)
+SELECT e.event_type, x.n_exact, e.n_zero_registers,
+       CASE WHEN e.n_zero_registers > 0
+                 AND {_HLL_NUM!r} / CAST(e.z AS DOUBLE)
+                     <= {_HLL_LC_THRESHOLD!r}
+            THEN ({_HLL_LC_SQL})[e.n_zero_registers]
+            ELSE round({_HLL_NUM!r} / CAST(e.z AS DOUBLE), 3) END
+         AS hll_estimate
+FROM est e
+JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+) x USING (event_type)
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dimensions — the
     plan a 100 TB fact scan wants (no shuffle of lineitem for the dims)."""
@@ -553,6 +788,8 @@ QUERIES = {
     "events_asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "events_rollup_sets": QuerySpec(q_rollup_sets, SQL_ROLLUP_SETS),
     "events_range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
+    "events_funnel": QuerySpec(q_funnel, SQL_FUNNEL),
+    "events_distinct_hll": QuerySpec(q_distinct_hll, SQL_DISTINCT_HLL),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
         q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND

@@ -1190,7 +1190,10 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 # table alone.
 
 
-def q_embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfadc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_d) ADC distances restricted to the
+    IVF-probed lists — the shared core of q_embedding_ann_ivfadc and
+    its exact-rerank refinement."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1243,12 +1246,18 @@ def q_embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(lists, "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = (
+    return (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("ld").alias("adc_d"))
     )
+
+
+def q_embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _ivfadc_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d").asc(), F.col("neighbor_id")
     )
@@ -1259,7 +1268,9 @@ def q_embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_IVFADC = f"""
+# shared CTE chain (through ADC distances `s`) for the IVFADC query and
+# its exact-rerank refinement — one source of truth, two final ranks
+_IVFADC_CTES = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
 ), assign AS (
@@ -1321,12 +1332,101 @@ WITH cent AS (
   JOIN codes cd ON cd.vec_id = c.vec_id
   JOIN lut l ON l.query_id = c.query_id AND l.m = cd.m AND l.code = cd.code
   GROUP BY 1, 2
-)
+)"""
+
+SQL_EMBEDDING_IVFADC = f"""{_IVFADC_CTES}
 SELECT query_id, neighbor_id, rnk, adc_d FROM (
   SELECT query_id, neighbor_id, adc_d,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_d, neighbor_id) AS rnk
   FROM s
+) WHERE rnk <= {ADC_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVFADC + exact rerank (the "refine" stage: FAISS IndexRefineFlat /
+# Jégou et al. §V-D — ADC shortlists, exact distances re-rank)
+# --------------------------------------------------------------------------
+
+# ADC distances carry quantization distortion, so the true neighbor is
+# often in the ADC top-R but not the ADC top-k. The refinement keeps
+# everything about the IVFADC plan (id-only lists, broadcast LUT, codes
+# 64-bit per vector) and adds ONE bounded step: the per-query ADC
+# shortlist (R = ADC_RERANK rows per query — a window over the already
+# per-query-small candidate set) joins back to the embeddings table for
+# its R raw vectors and re-ranks by exact cosine. 100 TB shape: the
+# rerank join touches n_queries * R embedding rows by vec_id (point
+# lookups on the sorted/bucketed table), the query side broadcasts, and
+# the shortlist shuffle carries only (query_id, neighbor_id). Recall
+# approaches exact-IVF at the same nprobe while the scan stays PQ-coded.
+ADC_RERANK = 25  # 5x ADC_TOPK shortlist
+
+
+def q_embedding_ann_ivfadc_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _ivfadc_scored(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= ADC_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nemb"),
+        _norm_col(F.col("embedding")).alias("nnorm"),
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            _norm_col(F.col("embedding")).alias("qnorm"),
+        )
+    )
+    re = short.join(nb, "neighbor_id").join(qv, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        _cos_pre(
+            F.col("qemb"), F.col("nemb"), F.col("qnorm"), F.col("nnorm")
+        ).alias("csim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("neighbor_id")
+    )
+    return (
+        re.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= ADC_TOPK)
+        .select("query_id", "neighbor_id", "rnk", "csim")
+    )
+
+
+SQL_EMBEDDING_IVFADC_RERANK = f"""{_IVFADC_CTES}
+, short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d, neighbor_id) AS srk
+    FROM s
+  ) WHERE srk <= {ADC_RERANK}
+), re AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         {_cos_sql('q.qemb', 'n.embedding')} AS csim
+  FROM short sh
+  JOIN q ON q.query_id = sh.query_id
+  JOIN embeddings n ON n.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, csim FROM (
+  SELECT query_id, neighbor_id, csim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY csim DESC, neighbor_id) AS rnk
+  FROM re
 ) WHERE rnk <= {ADC_TOPK}
 """
 
@@ -1345,5 +1445,8 @@ QUERIES = {
     ),
     "embedding_ann_ivfadc": QuerySpec(
         q_embedding_ann_ivfadc, SQL_EMBEDDING_IVFADC
+    ),
+    "embedding_ann_ivfadc_rerank": QuerySpec(
+        q_embedding_ann_ivfadc_rerank, SQL_EMBEDDING_IVFADC_RERANK
     ),
 }

@@ -1063,3 +1063,114 @@ def test_trained_pq_codebooks_deterministic_integer_grid():
         for m in range(S.PQ_M)
     ]
     assert a != standin
+
+
+def test_hll_raw_estimate_branch_on_high_cardinality(spark, tmp_path):
+    """The fixture events tables land in the linear-counting branch
+    (distinct users << 640), so the raw alpha*m^2/Z estimate path is
+    only exercised here: 5,000 distinct users saturate the registers
+    and force the ELSE branch in both engines — proving the integer
+    indicator sum, the int64->double cast, and the round(_, 3) hash
+    agree where the lookup table does NOT shield them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.relational import QUERIES
+
+    rows = [
+        {"event_type": t, "user_id": u}
+        for t in ("view", "click")
+        for u in range(5000)
+    ]
+    d = tmp_path / "sf_hll"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+
+    spec = QUERIES["events_distinct_hll"]
+    out = {
+        r["event_type"]: r
+        for r in spec.fn(spark, str(d)).collect()
+    }
+    # registers saturate: few-to-no zeros, estimate within HLL's ~1.04/
+    # sqrt(256) relative error envelope (generous 3-sigma bound)
+    for t in ("view", "click"):
+        r = out[t]
+        assert r["n_exact"] == 5000
+        assert r["n_zero_registers"] < 10, r
+        assert abs(r["hll_estimate"] - 5000) / 5000 < 0.25, r
+    r = compare_query(spark, str(d), "events_distinct_hll", spec)
+    assert r["ok"], r["detail"]
+
+
+def test_funnel_tie_and_order_semantics(spark, tmp_path):
+    """Crafted funnel edges the fixture data cannot hit: a click at the
+    SAME microsecond as the first view must NOT qualify (strictly-after
+    rule), a purchase before any click must not count, and out-of-order
+    stage events resolve to the first qualifying occurrence — with
+    oracle parity on the same crafted table."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.relational import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, u, t, typ):
+        return {
+            "event_id": eid,
+            "ts": t,
+            "user_id": u,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: view@0, click@0 (tie -> NOT qualified), click@2, purchase@3
+        ev(1, 1, t0, "view"),
+        ev(2, 1, t0, "click"),
+        ev(3, 1, t0 + 2 * s, "click"),
+        ev(4, 1, t0 + 3 * s, "purchase"),
+        # u2: purchase@0 then view@1 -> stage 1 only
+        ev(5, 2, t0, "purchase"),
+        ev(6, 2, t0 + s, "view"),
+        # u3: click-only -> stage 0
+        ev(7, 3, t0, "click"),
+        # u4: view@0, purchase@1, click@2, purchase@3 -> first
+        # qualifying purchase is @3 (the @1 purchase precedes any click)
+        ev(8, 4, t0, "view"),
+        ev(9, 4, t0 + s, "purchase"),
+        ev(10, 4, t0 + 2 * s, "click"),
+        ev(11, 4, t0 + 3 * s, "purchase"),
+    ]
+    d = tmp_path / "sf_funnel"
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(d / "events.parquet")
+    )
+
+    spec = QUERIES["events_funnel"]
+    got = {r["user_id"]: r for r in spec.fn(spark, str(d)).collect()}
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got[1]["stage"] == 3
+    assert got[1]["first_click_us"] == us0 + 2_000_000  # tie excluded
+    assert got[1]["first_purchase_us"] == us0 + 3_000_000
+    assert got[2]["stage"] == 1 and got[2]["first_click_us"] is None
+    assert got[3]["stage"] == 0 and got[3]["first_view_us"] is None
+    assert got[4]["stage"] == 3
+    assert got[4]["first_purchase_us"] == us0 + 3_000_000
+    r = compare_query(spark, str(d), "events_funnel", spec)
+    assert r["ok"], r["detail"]

@@ -510,3 +510,35 @@ def test_ivfadc_corpus_joins_are_hash_joins(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_funnel_is_single_exchange_window_cascade(spark):
+    """The 3-stage funnel must stay ONE hash shuffle on user_id: both
+    stage-carry Windows share the same sort, the per-user aggregate
+    reuses the window's partitioning, and there is no per-stage
+    self-join — a regression to min-after joins re-shuffles the event
+    log once per stage and shows up as a Join here."""
+    from ocr_spark.functions.relational import q_funnel
+
+    plan = _plan(q_funnel(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert tree.count("Exchange") <= 2, plan  # tree + detail listing
+    assert "Join" not in tree and "CartesianProduct" not in tree, plan
+    assert tree.count("Window") >= 2, plan  # both stage carries present
+
+
+def test_hll_sketch_shuffles_registers_not_keys(spark):
+    """The HLL branch must partial-aggregate map-side and shuffle on
+    (event_type, reg) — <= 256 rows per group per mapper regardless of
+    input size. Only the exact-verification branch may shuffle raw
+    user ids; the final 5-row join must broadcast."""
+    from ocr_spark.functions.relational import q_distinct_hll
+
+    plan = _plan(q_distinct_hll(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==")[-1]
+    detail = plan.split("== Physical Plan ==")[-1]
+    assert "NestedLoop" not in tree and "CartesianProduct" not in tree, plan
+    assert "BroadcastHashJoin" in tree or "BroadcastExchange" in tree, plan
+    # the sketch shuffle keys on the register, not the hashed value
+    assert "hashpartitioning(event_type" in detail, plan
+    assert ", reg" in detail, plan
