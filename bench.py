@@ -213,6 +213,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "events_sessionize",
         "events_funnel",
         "events_distinct_hll",
+        "events_quantile_sketch",
+        "text_heavy_hitters_cms",
         "events_asof_join",
         "events_range_join",
         "events_rollup_sets",

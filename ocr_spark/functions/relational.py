@@ -606,6 +606,136 @@ JOIN (
 """
 
 
+# --------------------------------------------------------------------------
+# fixed-bin histogram quantiles (the sketch that replaces a global sort)
+# --------------------------------------------------------------------------
+
+# Exact percentiles of a 10^12-row column need a global sort (or an
+# engine-specific t-digest whose merge order is nondeterministic across
+# engines). The portable sketch: quantize values to integer millis, map
+# each to a fixed-width bin, aggregate bin counts (map-side partial,
+# shuffle bounded by the bin count — value-range/BIN, not row count),
+# and read each percentile off the cumulative histogram. The exact
+# discrete percentile is kept as the verification column, computed from
+# per-DISTINCT-value counts (bounded by value cardinality, never a raw
+# row sort) with the same construction in both engines: smallest value
+# whose cumulative count reaches rank ceil(p * n). The only float ops
+# are p * n (identical literals x identical bigint->double) and the
+# final midpoint division — deterministic, no percentile_cont/disc
+# library semantics on either side.
+QSK_BIN_MILLIS = 1000  # bin width = 1.0 value unit
+QSK_PS = (0.5, 0.95, 0.99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000, 0).cast("long")
+    vals = ev.select(vm.alias("vm"))
+
+    # ONE corpus-wide aggregation: per-distinct-value counts. n, the
+    # bin histogram, and both cumulative walks all derive from this
+    # bounded frame — the raw rows are scanned and shuffled exactly
+    # once. (A production sketch that skips the exact column would bin
+    # straight off the scan; the shapes are identical.)
+    # materialize dv once: four consumers (n, bins, both cumulative
+    # walks) would otherwise each re-run the corpus aggregation — the
+    # same single-scan discipline as dedup_embedding's bucket frame
+    # (production scale swap for persist/durable checkpoint)
+    dv = (
+        vals.groupBy("vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    n_df = dv.agg(F.sum("cnt").cast("long").alias("n"))
+    bins = (
+        dv.select(
+            F.floor(F.col("vm") / QSK_BIN_MILLIS).alias("bin"), "cnt"
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bins_cum = bins.select("bin", F.sum("cnt").over(wb).alias("cum"))
+
+    wv = Window.orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dv_cum = dv.select("vm", F.sum("cnt").over(wv).alias("cum"))
+
+    ps = spark.createDataFrame([(p,) for p in QSK_PS], "p double")
+    ranks = ps.crossJoin(F.broadcast(n_df)).select(
+        "p", "n", F.ceil(F.col("p") * F.col("n")).cast("long").alias("r")
+    )
+    est = (
+        F.broadcast(ranks)
+        .join(bins_cum, F.col("cum") >= F.col("r"))
+        .groupBy("p", "n", "r")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "p",
+            "n",
+            "r",
+            (
+                (F.col("bin") * QSK_BIN_MILLIS + QSK_BIN_MILLIS // 2)
+                / F.lit(1000.0)
+            ).alias("est_value"),
+        )
+    )
+    exact = (
+        F.broadcast(ranks.select("p", "r"))
+        .join(dv_cum, F.col("cum") >= F.col("r"))
+        .groupBy("p")
+        .agg(F.min("vm").alias("exact_value_milli"))
+    )
+    return est.join(exact, "p").select(
+        "p", "n", "r", "est_value", "exact_value_milli"
+    )
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH vals AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS vm FROM events
+), dv0 AS (
+  SELECT vm, count(*) AS cnt FROM vals GROUP BY 1
+), n AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dv0
+), bins AS (
+  SELECT CAST(floor(vm / {QSK_BIN_MILLIS}) AS BIGINT) AS bin,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM dv0 GROUP BY 1
+), bins_cum AS (
+  SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM bins
+), dv_cum AS (
+  SELECT vm, CAST(sum(cnt) OVER (ORDER BY vm
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dv0
+), ranks AS (
+  -- CAST before the multiply: a DuckDB VALUES float literal is DECIMAL,
+  -- whose exact p*n can ceil() differently from the double product at
+  -- integer boundaries (0.95 as double is 0.9499999999999999556...)
+  SELECT CAST(p AS DOUBLE) AS p, n.n,
+         CAST(ceil(CAST(p AS DOUBLE) * n.n) AS BIGINT) AS r
+  FROM (VALUES {", ".join(f"({p!r})" for p in QSK_PS)}) ps(p), n
+), est AS (
+  SELECT ranks.p, ranks.n, ranks.r,
+         (min(bin) * {QSK_BIN_MILLIS} + {QSK_BIN_MILLIS // 2}) / 1000.0
+           AS est_value
+  FROM ranks JOIN bins_cum ON cum >= r
+  GROUP BY 1, 2, 3
+), exact AS (
+  SELECT ranks.p, CAST(min(vm) AS BIGINT) AS exact_value_milli
+  FROM ranks JOIN dv_cum ON cum >= r
+  GROUP BY 1
+)
+SELECT est.p, est.n, est.r, est.est_value, exact.exact_value_milli
+FROM est JOIN exact USING (p)
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dimensions — the
     plan a 100 TB fact scan wants (no shuffle of lineitem for the dims)."""
@@ -790,6 +920,9 @@ QUERIES = {
     "events_range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
     "events_funnel": QuerySpec(q_funnel, SQL_FUNNEL),
     "events_distinct_hll": QuerySpec(q_distinct_hll, SQL_DISTINCT_HLL),
+    "events_quantile_sketch": QuerySpec(
+        q_quantile_sketch, SQL_QUANTILE_SKETCH
+    ),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
         q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND

@@ -1052,6 +1052,156 @@ FROM top
 """
 
 
+# --------------------------------------------------------------------------
+# count-min sketch point queries (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+# The second sketch of the family (next to relational.q_distinct_hll):
+# term-frequency point queries from a d x w counter matrix instead of a
+# vocabulary-sized exact count. At 10^12 documents the CMS shuffle is
+# bounded by d*w = 1024 cells per mapper (map-side partial agg), while
+# an exact per-term count shuffles the whole vocabulary. Deterministic
+# across engines by the same discipline as the HLL: row hashes are
+# portable md5 (seed i prefixes "cms{i}:"), counters are exact BIGINTs,
+# and the probe (term, row, col) triples are computed ONCE in Python
+# with hashlib and inlined as literals into both the Spark frame and
+# the oracle VALUES list. The exact count per probe term is kept as the
+# verification column; `overcount = est - exact` is the CMS guarantee
+# surface (always >= 0, bounded by collision mass e*N/w w.h.p.).
+CMS_D = 4  # hash rows
+# w intentionally SMALLER than the fixture vocabulary so collisions are
+# real and the min-across-rows + overcount surfaces are exercised by
+# the gate (w=256 left every probe collision-free — proving nothing)
+CMS_W = 32  # counters per row
+# fixed probe set: frequent, mid, rare corpus terms + one absent term
+# (exact 0 — its estimate is pure collision mass)
+CMS_PROBE_TERMS = ("table", "query", "spark", "window", "merge", "zzzabsent")
+
+
+def _cms_probe_literals() -> list[tuple[str, int, int]]:
+    """(term, row, col) for every probe x hash row — hashlib twin of the
+    engine-side md5('cms{i}:' || term) % CMS_W."""
+    import hashlib
+
+    out = []
+    for t in CMS_PROBE_TERMS:
+        for i in range(CMS_D):
+            h = int(
+                hashlib.md5(f"cms{i}:{t}".encode()).hexdigest()[:15], 16
+            )
+            out.append((t, i, h % CMS_W))
+    return out
+
+
+def _cms_tokens_col():
+    """Identical tokenizer to vocab_top_terms — shared constants."""
+    return _ws_tokens(
+        F.regexp_replace(F.lower(F.col("text")), VOCAB_STRIP_PATTERN, " ")
+    )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_cms_tokens_col()).alias("term"))
+    cols = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cms{i}:"), F.col("term")
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    cells = (
+        toks.select(F.posexplode(cols).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        _cms_probe_literals(), "term string, row int, col long"
+    )
+    est = (
+        probes.join(
+            cells,
+            (probes["row"] == cells["row"]) & (probes["col"] == cells["col"]),
+            "left",
+        )
+        .select("term", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("term")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    exact = (
+        toks.filter(F.col("term").isin(*CMS_PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias(
+                "exact_count"
+            ),
+        )
+        .withColumn(
+            "overcount",
+            (F.col("est_count") - F.col("exact_count")).cast("long"),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    probes = ", ".join(
+        f"('{t}', {i}, {c})" for t, i, c in _cms_probe_literals()
+    )
+    seeds = ", ".join(f"({i}, 'cms{i}:')" for i in range(CMS_D))
+    in_list = ", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '{VOCAB_STRIP_PATTERN}', ' ', 'g'),
+             '\\s+'),
+           w -> w != '')) AS term
+  FROM documents
+), seeds(i, s) AS (VALUES {seeds}),
+cells AS (
+  SELECT seeds.i AS row,
+         CAST(('0x' || substr(md5(seeds.s || term), 1, 15)) AS BIGINT)
+           % {CMS_W} AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok, seeds
+  GROUP BY 1, 2
+), probes(term, row, col) AS (VALUES {probes}),
+est AS (
+  SELECT p.term, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p
+  LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+  GROUP BY 1
+), exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok WHERE term IN ({in_list}) GROUP BY 1
+)
+SELECT e.term, e.est_count,
+       CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(e.est_count - coalesce(x.exact_count, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN exact x USING (term)
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -1066,4 +1216,5 @@ QUERIES = {
     "text_bigram_rarity": QuerySpec(q_bigram_rarity, SQL_BIGRAM_RARITY),
     "curate_pack_pipeline": QuerySpec(q_curate_pack, _curate_pack_sql()),
     "text_bm25": QuerySpec(q_text_bm25, _bm25_sql()),
+    "text_heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, _cms_sql()),
 }

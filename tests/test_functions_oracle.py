@@ -1174,3 +1174,66 @@ def test_funnel_tie_and_order_semantics(spark, tmp_path):
     assert got[4]["first_purchase_us"] == us0 + 3_000_000
     r = compare_query(spark, str(d), "events_funnel", spec)
     assert r["ok"], r["detail"]
+
+
+def test_cms_overcount_is_real_under_forced_collisions(spark, tmp_path):
+    """CMS guarantee surfaces: est >= exact always, and overcount > 0
+    when collisions are forced. The filler terms are SEARCHED with the
+    same hashlib twin the probe literals use — one filler per hash row
+    that collides with the absent probe term in that row — so the
+    absent term's four cells are all non-zero and its estimate is pure
+    collision mass. Oracle parity on the same crafted corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.textops import (
+        CMS_D,
+        CMS_W,
+        QUERIES,
+    )
+
+    target = "zzzabsent"
+
+    def col_of(i, term):
+        return int(
+            hashlib.md5(f"cms{i}:{term}".encode()).hexdigest()[:15], 16
+        ) % CMS_W
+
+    fillers = []
+    for i in range(CMS_D):
+        cand = 0
+        while True:
+            t = f"fill{cand}"
+            if t != target and col_of(i, t) == col_of(i, target):
+                fillers.append(t)
+                break
+            cand += 1
+    rows = [{"doc_id": 0, "text": " ".join(fillers)}]
+    d = tmp_path / "sf_cms"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    spec = QUERIES["text_heavy_hitters_cms"]
+    out = {r["term"]: r for r in spec.fn(spark, str(d)).collect()}
+    for r in out.values():
+        assert r["est_count"] >= r["exact_count"], r  # CMS never undercounts
+    assert out[target]["exact_count"] == 0
+    assert out[target]["overcount"] >= 1, out[target]
+    r = compare_query(spark, str(d), "text_heavy_hitters_cms", spec)
+    assert r["ok"], r["detail"]
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark):
+    """The histogram estimate must land in the same bin as the exact
+    discrete percentile — |est - exact| <= half a bin width — at both
+    fixture scales."""
+    from ocr_spark.functions.relational import QSK_BIN_MILLIS, QUERIES
+
+    spec = QUERIES["events_quantile_sketch"]
+    half = QSK_BIN_MILLIS / 1000.0 / 2
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for r in spec.fn(spark, sf).collect():
+            exact = r["exact_value_milli"] / 1000.0
+            assert abs(r["est_value"] - exact) <= half, (sf, dict(r.asDict()))

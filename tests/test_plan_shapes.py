@@ -542,3 +542,32 @@ def test_hll_sketch_shuffles_registers_not_keys(spark):
     # the sketch shuffle keys on the register, not the hashed value
     assert "hashpartitioning(event_type" in detail, plan
     assert ", reg" in detail, plan
+
+
+def test_cms_cells_shuffle_is_counter_keyed(spark):
+    """The CMS counter build must shuffle on (row, col) — bounded at
+    d*w cells per mapper via partial aggregation — and no Exchange may
+    carry document text (terms hash map-side)."""
+    from ocr_spark.functions.textops import QUERIES
+
+    df = QUERIES["text_heavy_hitters_cms"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    detail = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning(row" in detail, plan
+    assert "CartesianProduct" not in detail, plan
+
+
+def test_quantile_sketch_scans_events_once(spark):
+    """All four consumers (n, bins, both cumulative walks) must read
+    the materialized distinct-value frame — the final plan contains NO
+    parquet re-scan of the events table."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["events_quantile_sketch"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, plan
