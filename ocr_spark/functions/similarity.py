@@ -1360,7 +1360,12 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 # lookups on the sorted/bucketed table), the query side broadcasts, and
 # the shortlist shuffle carries only (query_id, neighbor_id). Recall
 # approaches exact-IVF at the same nprobe while the scan stays PQ-coded.
-ADC_RERANK = 25  # 5x ADC_TOPK shortlist
+# R chosen from the measured recall: the untrained-codebook ADC
+# ordering is distorted enough (integer L2 on first-KSUB codebooks vs
+# the cosine truth) that R=25 recovered only 0.21 recall@5 at sf0.1;
+# R=50 more than doubles it while the rerank stays n_queries*R point
+# lookups (the IVF probe itself caps what any R can reach)
+ADC_RERANK = 50  # 10x ADC_TOPK shortlist
 
 
 def q_embedding_ann_ivfadc_rerank(
