@@ -196,6 +196,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "vocab_top_terms",
         "text_repetition",
         "decontaminate_ngram_overlap",
+        "decontaminate_bloom",
         "pack_sequences",
         "text_bigram_rarity",
         "text_bm25",

@@ -668,6 +668,144 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-memory membership at 10^12)
+# --------------------------------------------------------------------------
+
+# q_decontaminate broadcast-joins the benchmark gram SET — fine while
+# the set is small, but the join still shuffles matched grams. The
+# Bloom restatement removes the join entirely: the benchmark grams
+# (bounded by definition — it's a benchmark suite, read driver-side
+# exactly like the trained-quantizer samples) compress into an m-bit
+# filter inlined as a LITERAL array of 64-bit words, and every
+# document's grams probe it map-side (k portable-md5 bit tests inside a
+# per-row array filter) — ZERO Exchange before the per-doc projection,
+# constant memory at any corpus size, never a false negative. The
+# oracle is a callable QuerySpec.sql resolving the same literal bitset
+# per sf_dir; the no-false-negative guarantee is unit-tested against
+# the exact-join operator's counts.
+BLOOM_M = 1 << 15  # filter bits (512 literal int64 words)
+BLOOM_K = 4  # hash probes per gram, seeds "bf0:".."bf3:"
+
+_BLOOM_CACHE: dict[str, list[int]] = {}
+
+
+def _bloom_positions(gram: str):
+    import hashlib
+
+    for j in range(BLOOM_K):
+        yield int(
+            hashlib.md5(f"bf{j}:{gram}".encode()).hexdigest()[:15], 16
+        ) % BLOOM_M
+
+
+def bloom_filter_words(sf_dir: str) -> list[int]:
+    """The benchmark-gram Bloom filter as BLOOM_M/64 SIGNED int64 words
+    (two's complement, so the engine-side literals round-trip exactly)."""
+    cached = _BLOOM_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+        f" WHERE doc_id % {DECON_MOD} = 0"
+    ).fetchall()
+    grams = set()
+    for (text,) in rows:
+        ws = [w for w in text.split() if w]
+        for i in range(len(ws) - DECON_N + 1):
+            grams.add(" ".join(ws[i : i + DECON_N]))
+    bits = bytearray(BLOOM_M // 8)
+    for g in grams:
+        for p in _bloom_positions(g):
+            bits[p >> 3] |= 1 << (p & 7)
+    words = []
+    for w in range(BLOOM_M // 64):
+        v = int.from_bytes(bits[w * 8 : w * 8 + 8], "little")
+        words.append(v - (1 << 64) if v >= (1 << 63) else v)
+    _BLOOM_CACHE[sf_dir] = words
+    return words
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = bloom_filter_words(sf_dir)
+    mask = F.array(*[F.lit(v).cast("long") for v in words])
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    grams = F.array_distinct(_word_ngrams(F.col("ws"), DECON_N))
+
+    def bit_ok(g, j):
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}:"), g).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+        word = F.element_at(mask, (F.shiftright(idx, 6) + 1).cast("int"))
+        # shiftright by a COLUMN amount: the python wrapper only takes a
+        # literal int, the SQL function takes expressions
+        return (
+            F.call_function(
+                "shiftright", word, idx.bitwiseAND(F.lit(63)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    def member(g):
+        cond = bit_ok(g, 0)
+        for j in range(1, BLOOM_K):
+            cond = cond & bit_ok(g, j)
+        return cond
+
+    return docs.where((F.col("doc_id") % DECON_MOD) != 0).select(
+        "doc_id",
+        F.size(grams).cast("int").alias("n_grams"),
+        F.size(F.filter(grams, member)).cast("int").alias("bloom_hits"),
+    )
+
+
+def _bloom_sql(sf_dir: str) -> str:
+    words = bloom_filter_words(sf_dir)
+    mask = "[" + ", ".join(str(v) for v in words) + "]"
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_N))
+    idx = (
+        "(CAST(('0x' || substr(md5('bf{j}:' || g), 1, 15)) AS BIGINT)"
+        f" % {BLOOM_M})"
+    )
+    probes = " AND ".join(
+        "(("
+        f"(m.mask[(({idx.format(j=j)} >> 6))::INT + 1]"
+        f" >> (({idx.format(j=j)} & 63))::INT)"
+        " & 1) = 1)"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH m AS (SELECT {mask}::BIGINT[] AS mask),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents WHERE doc_id % {DECON_MOD} != 0
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(ws) - {DECON_N - 2}), i -> {parts})) AS grams
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_filter(grams, g -> {probes})) AS INT) AS bloom_hits
+FROM g, m
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus-trained character-bigram rarity (quality signal)
 # --------------------------------------------------------------------------
 
@@ -1217,4 +1355,5 @@ QUERIES = {
     "curate_pack_pipeline": QuerySpec(q_curate_pack, _curate_pack_sql()),
     "text_bm25": QuerySpec(q_text_bm25, _bm25_sql()),
     "text_heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, _cms_sql()),
+    "decontaminate_bloom": QuerySpec(q_decontaminate_bloom, _bloom_sql),
 }

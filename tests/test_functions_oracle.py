@@ -1237,3 +1237,52 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark):
         for r in spec.fn(spark, sf).collect():
             exact = r["exact_value_milli"] / 1000.0
             assert abs(r["est_value"] - exact) <= half, (sf, dict(r.asDict()))
+
+
+def test_bloom_decontaminate_never_undercounts_and_false_positives_exist(
+    spark, tmp_path
+):
+    """Bloom guarantees, both directions: (a) on the fixture corpus
+    every exact benchmark-gram hit is also a bloom hit (no false
+    negatives vs the join operator); (b) on a crafted corpus whose
+    benchmark doc SATURATES the filter (~40k distinct grams against
+    2^15 bits), train docs with ZERO exact overlap still bloom-hit —
+    the false-positive surface is real and the oracle agrees on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bloom = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in QUERIES["decontaminate_bloom"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["doc_id"]: r["hit_grams"]
+        for r in QUERIES["decontaminate_ngram_overlap"].fn(spark, sf).collect()
+    }
+    for d, hits in exact.items():
+        assert bloom.get(d, 0) >= hits, (d, hits, bloom.get(d))
+
+    # crafted saturation: benchmark doc 0 carries 40k distinct tokens,
+    # train doc 1 shares NONE of them
+    bench_text = " ".join(f"b{i}" for i in range(40_000))
+    train_text = " ".join(f"t{i}" for i in range(50))
+    rows = [
+        {"doc_id": 0, "text": bench_text},
+        {"doc_id": 1, "text": train_text},
+    ]
+    d = tmp_path / "sf_bloom"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["decontaminate_bloom"].fn(spark, str(d)).collect()
+    }
+    assert out[1]["n_grams"] == 48
+    assert out[1]["bloom_hits"] > 0, out[1]  # pure false-positive mass
+    r = compare_query(
+        spark, str(d), "decontaminate_bloom", QUERIES["decontaminate_bloom"]
+    )
+    assert r["ok"], r["detail"]

@@ -571,3 +571,17 @@ def test_quantile_sketch_scans_events_once(spark):
     plan = _plan(df)
     tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
     assert tree.count("Scan parquet") == 0, plan
+
+
+def test_bloom_decontaminate_is_pure_map_side(spark):
+    """The Bloom membership probe must be a literal-bitset projection:
+    scan -> filter -> project, ZERO Exchange, no Join — the whole point
+    of replacing the benchmark-gram broadcast join."""
+    from ocr_spark.functions.textops import QUERIES
+
+    df = QUERIES["decontaminate_bloom"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+    assert "Exchange" not in tree, plan
+    assert "Join" not in tree, plan
+    assert tree.count("Scan parquet") == 1, plan
