@@ -700,7 +700,15 @@ def _bloom_positions(gram: str):
 
 def bloom_filter_words(sf_dir: str) -> list[int]:
     """The benchmark-gram Bloom filter as BLOOM_M/64 SIGNED int64 words
-    (two's complement, so the engine-side literals round-trip exactly)."""
+    (two's complement, so the engine-side literals round-trip exactly).
+
+    Scale posture: the filter is built from the BENCHMARK side only —
+    in production that is its own small table (a benchmark suite is
+    KB-to-MB by definition), so this driver-side read is benchmark-
+    sized, never corpus-sized. The fixture corpus has no separate
+    benchmark table, so the `doc_id % DECON_MOD` carve-out stands in
+    (the DuckDB filter materializes only those rows); the held
+    state is one gram set + the BLOOM_M-bit array."""
     cached = _BLOOM_CACHE.get(sf_dir)
     if cached is not None:
         return cached
