@@ -223,6 +223,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "events_span_reassembly",
         "tpch_revenue_by_nation",
         "tpch_q3_shipping_priority",
+        "dim_scd2_upsert",
         "infer_output_parse",
         "media_video_frames",
         "media_audio_features",

@@ -736,6 +736,138 @@ FROM est JOIN exact USING (p)
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 dimension upsert (MERGE INTO restated as pure joins)
+# --------------------------------------------------------------------------
+
+# The lakehouse write-side operator the rest of the suite assumes: an
+# update batch applied to a slowly-changing dimension with full history
+# (type-2: closed-out old versions + a current flag), restated engine-
+# portably as joins a 100 TB fact pipeline can run anywhere: changed-or-
+# new rows are detected by an equi-join on the key + column compare
+# (never a row-by-row MERGE cursor), version rows derive map-side, and
+# the only shuffle is the key join — co-partitioned with the dimension's
+# natural layout. The update batch is derived deterministically from the
+# dimension itself (every 7th key changes segment and balance, every
+# 97th key is reborn as a brand-new key), so both engines construct
+# batch, change-set, and history from the same constants with zero
+# fixtures.
+SCD2_UPDATE_MOD = 7
+SCD2_INSERT_MOD = 97
+SCD2_NEW_KEY_OFFSET = 1_000_000
+
+
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias(
+            "acctbal_cents"
+        ),
+    )
+    # deterministic update batch: changed rows for every 7th key (but
+    # every 21st key arrives UNCHANGED — a no-op the merge must drop),
+    # plus new keys for every 97th
+    upd = cust.filter(F.col("custkey") % SCD2_UPDATE_MOD == 0).select(
+        "custkey",
+        F.when(
+            F.col("custkey") % (3 * SCD2_UPDATE_MOD) == 0, F.col("segment")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("UPSERT-"), (F.col("custkey") % 3).cast("string")
+            )
+        )
+        .alias("segment"),
+        F.when(
+            F.col("custkey") % (3 * SCD2_UPDATE_MOD) == 0,
+            F.col("acctbal_cents"),
+        )
+        .otherwise(F.col("acctbal_cents") + 1000)
+        .alias("acctbal_cents"),
+    )
+    ins = cust.filter(F.col("custkey") % SCD2_INSERT_MOD == 0).select(
+        (F.col("custkey") + SCD2_NEW_KEY_OFFSET).alias("custkey"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit(0).cast("long").alias("acctbal_cents"),
+    )
+    batch = upd.unionByName(ins)
+
+    # change detection: batch rows whose (segment, acctbal) differ from
+    # the current dimension row, or whose key is absent from it
+    joined = batch.alias("b").join(
+        cust.alias("d"), F.col("b.custkey") == F.col("d.custkey"), "left"
+    )
+    changed = joined.filter(
+        F.col("d.custkey").isNull()
+        | (F.col("b.segment") != F.col("d.segment"))
+        | (F.col("b.acctbal_cents") != F.col("d.acctbal_cents"))
+    ).select("b.custkey", "b.segment", "b.acctbal_cents")
+
+    # history: version 0 = the pre-merge dimension (current unless a
+    # changed row supersedes it), version 1 = the applied changes
+    closed_keys = changed.select("custkey")
+    v0 = cust.alias("d0").join(
+        closed_keys.alias("c"),
+        F.col("d0.custkey") == F.col("c.custkey"),
+        "left",
+    ).select(
+        "d0.custkey",
+        "d0.segment",
+        "d0.acctbal_cents",
+        F.lit(0).cast("int").alias("version"),
+        F.when(F.col("c.custkey").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )
+    v1 = changed.select(
+        "custkey",
+        "segment",
+        "acctbal_cents",
+        F.lit(1).cast("int").alias("version"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    return v0.unionByName(v1)
+
+
+SQL_SCD2_UPSERT = f"""
+WITH dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+  FROM customer
+), upd AS (
+  SELECT custkey,
+         CASE WHEN custkey % {3 * SCD2_UPDATE_MOD} = 0 THEN segment
+              ELSE 'UPSERT-' || CAST(custkey % 3 AS VARCHAR) END AS segment,
+         CASE WHEN custkey % {3 * SCD2_UPDATE_MOD} = 0 THEN acctbal_cents
+              ELSE acctbal_cents + 1000 END AS acctbal_cents
+  FROM dim WHERE custkey % {SCD2_UPDATE_MOD} = 0
+), ins AS (
+  SELECT custkey + {SCD2_NEW_KEY_OFFSET} AS custkey,
+         'NEWSEG' AS segment, CAST(0 AS BIGINT) AS acctbal_cents
+  FROM dim WHERE custkey % {SCD2_INSERT_MOD} = 0
+), batch AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), changed AS (
+  SELECT b.custkey, b.segment, b.acctbal_cents
+  FROM batch b LEFT JOIN dim d ON b.custkey = d.custkey
+  WHERE d.custkey IS NULL
+     OR b.segment != d.segment
+     OR b.acctbal_cents != d.acctbal_cents
+)
+SELECT d.custkey, d.segment, d.acctbal_cents,
+       CAST(0 AS INT) AS version,
+       CAST(CASE WHEN c.custkey IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM dim d LEFT JOIN changed c ON d.custkey = c.custkey
+UNION ALL
+SELECT custkey, segment, acctbal_cents,
+       CAST(1 AS INT) AS version, CAST(1 AS INT) AS is_current
+FROM changed
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dimensions — the
     plan a 100 TB fact scan wants (no shuffle of lineitem for the dims)."""
@@ -923,6 +1055,7 @@ QUERIES = {
     "events_quantile_sketch": QuerySpec(
         q_quantile_sketch, SQL_QUANTILE_SKETCH
     ),
+    "dim_scd2_upsert": QuerySpec(q_scd2_upsert, SQL_SCD2_UPSERT),
     "tpch_revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "tpch_top_parts_by_brand": QuerySpec(
         q_top_parts_by_brand, SQL_TOP_PARTS_BY_BRAND

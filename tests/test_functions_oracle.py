@@ -1286,3 +1286,44 @@ def test_bloom_decontaminate_never_undercounts_and_false_positives_exist(
         spark, str(d), "decontaminate_bloom", QUERIES["decontaminate_bloom"]
     )
     assert r["ok"], r["detail"]
+
+
+def test_scd2_upsert_invariants(spark):
+    """MERGE semantics the hash gate cannot see directly: exactly one
+    current row per key, closed rows are exactly the changed keys'
+    version-0 rows, no-op batch rows (every 21st key arrives unchanged)
+    create NO new version, and inserted keys carry no version-0 row."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.relational import (
+        QUERIES,
+        SCD2_NEW_KEY_OFFSET,
+        SCD2_UPDATE_MOD,
+    )
+
+    df = QUERIES["dim_scd2_upsert"].fn(spark, "/root/testdata/sf0.001")
+    per_key = df.groupBy("custkey").agg(
+        F.sum("is_current").alias("cur"),
+        F.max("version").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    assert per_key.filter(F.col("cur") != 1).count() == 0
+    # no-op keys: divisible by 3*MOD (same values resent) -> single
+    # version-0 current row, no version 1
+    noop = per_key.filter(
+        (F.col("custkey") % (3 * SCD2_UPDATE_MOD) == 0)
+        & (F.col("custkey") < SCD2_NEW_KEY_OFFSET)
+    )
+    assert noop.count() > 0  # the fixture actually has no-op keys
+    assert noop.filter(F.col("mx") != 0).count() == 0
+    # changed keys: exactly two rows, version-0 closed + version-1 current
+    changed = df.filter(
+        (F.col("version") == 1)
+        & (F.col("custkey") < SCD2_NEW_KEY_OFFSET)
+    ).select("custkey")
+    two = per_key.join(changed, "custkey")
+    assert two.filter((F.col("n") != 2) | (F.col("mx") != 1)).count() == 0
+    # inserted keys: single version-1 row, never a version 0
+    ins = per_key.filter(F.col("custkey") >= SCD2_NEW_KEY_OFFSET)
+    assert ins.count() > 0
+    assert ins.filter((F.col("n") != 1) | (F.col("mx") != 1)).count() == 0
