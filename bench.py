@@ -124,7 +124,8 @@ def _ann_recall(spark, sf_dir: str) -> dict:
     out = {"k": S.IVF_TOPK, "defaults": {"ivf_k": S.IVF_K, "nprobe": S.IVF_NPROBE}}
     for name in ("embedding_ann_ivf", "embedding_ann_ivf_trained",
                  "embedding_ann_adc", "embedding_ann_adc_trained",
-                 "embedding_ann_ivfadc", "embedding_ann_ivfadc_rerank"):
+                 "embedding_ann_ivfadc", "embedding_ann_ivfadc_rerank",
+                 "embedding_ann_ivfadc_trained_rerank"):
         out[name] = round(len(pairs(name) & truth) / len(truth), 3)
     curve = []
     for ck in (16, 32, 64):
@@ -211,6 +212,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "embedding_ann_adc_trained",
         "embedding_ann_ivfadc",
         "embedding_ann_ivfadc_rerank",
+        "embedding_ann_ivfadc_trained_rerank",
         "events_sessionize",
         "events_funnel",
         "events_distinct_hll",

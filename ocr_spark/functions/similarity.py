@@ -1190,30 +1190,42 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 # table alone.
 
 
-def _ivfadc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfadc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids=None,
+    books=None,
+    cent_type: str = "float",
+) -> DataFrame:
     """(query_id, neighbor_id, adc_d) ADC distances restricted to the
     IVF-probed lists — the shared core of q_embedding_ann_ivfadc and
-    its exact-rerank refinement."""
+    its exact-rerank refinements. Defaults are the honest stand-ins
+    (first-K centroids / first-KSUB codebooks); the trained variants
+    pass their fitted artifacts (cent_type='double' — trained centroid
+    components are 6-dp doubles, not the table's float32)."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = sorted(
-        (int(r["vec_id"]), list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") < IVF_K)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    if centroids is None:
+        centroids = sorted(
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < IVF_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    if books is None:
+        books = _pq_codebooks(spark, sf_dir)
     # id-only inverted lists: (cid, vec_id); the embedding never shuffles
     lists = ivf_lists(emb, centroids).select("cid", "vec_id")
-    codes = q_embedding_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
-    books = _pq_codebooks(spark, sf_dir)
+    codes = _pq_encode_with(emb, books).select("vec_id", "m", "code")
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(PQ_M) for c in range(PQ_KSUB)],
         "m int, code int, cq array<long>",
     )
     cent = F.broadcast(
         spark.createDataFrame(
-            [(cid, ce) for cid, ce in centroids], "cid int, ce array<float>"
+            [(cid, ce) for cid, ce in centroids],
+            f"cid int, ce array<{cent_type}>",
         )
     )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -1368,12 +1380,13 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 ADC_RERANK = 50  # 10x ADC_TOPK shortlist
 
 
-def q_embedding_ann_ivfadc_rerank(
-    spark: SparkSession, sf_dir: str
+def _rerank_tail(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
 ) -> DataFrame:
+    """ADC top-R shortlist -> exact-cosine re-rank (shared by the
+    stand-in and trained IVFADC rerank variants)."""
     from pyspark.sql.window import Window
 
-    scored = _ivfadc_scored(spark, sf_dir)
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adc_d").asc(), F.col("neighbor_id")
     )
@@ -1412,8 +1425,133 @@ def q_embedding_ann_ivfadc_rerank(
     )
 
 
+def q_embedding_ann_ivfadc_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _rerank_tail(spark, sf_dir, _ivfadc_scored(spark, sf_dir))
+
+
 SQL_EMBEDDING_IVFADC_RERANK = f"""{_IVFADC_CTES}
 , short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d, neighbor_id) AS srk
+    FROM s
+  ) WHERE srk <= {ADC_RERANK}
+), re AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         {_cos_sql('q.qemb', 'n.embedding')} AS csim
+  FROM short sh
+  JOIN q ON q.query_id = sh.query_id
+  JOIN embeddings n ON n.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, csim FROM (
+  SELECT query_id, neighbor_id, csim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY csim DESC, neighbor_id) AS rnk
+  FROM re
+) WHERE rnk <= {ADC_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# trained IVFADC + rerank: the production configuration
+# --------------------------------------------------------------------------
+
+
+def q_embedding_ann_ivfadc_trained_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full production ANN stack in one plan: k-means-trained coarse
+    quantizer (spherical, bounded driver fit) + k-means-trained PQ
+    codebooks + ADC scoring inside the probed lists + exact-cosine
+    rerank of the top-R shortlist. Identical plan shapes to the
+    stand-in variants (both are literal-driven); only the literals —
+    and therefore recall — change. bench.py reports the recall ladder:
+    untrained ADC -> trained ADC -> +rerank."""
+    scored = _ivfadc_scored(
+        spark,
+        sf_dir,
+        centroids=train_centroids(sf_dir),
+        books=train_pq_codebooks(sf_dir),
+        cent_type="double",
+    )
+    return _rerank_tail(spark, sf_dir, scored)
+
+
+def sql_ivfadc_trained_rerank(sf_dir: str) -> str:
+    """Callable oracle: the rerank chain with BOTH trained artifacts
+    inlined as VALUES literals (centroids as 6-dp doubles, codebooks as
+    8-dim BIGINT rows indexed cq[k])."""
+    cent_rows = ", ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(v) for v in ce))
+        for cid, ce in train_centroids(sf_dir)
+    )
+    books = train_pq_codebooks(sf_dir)
+    cb_rows = ", ".join(
+        "({}, {}, [{}])".format(m, c, ", ".join(str(v) for v in books[m][c]))
+        for m in range(PQ_M)
+        for c in range(PQ_KSUB)
+    )
+    return f"""
+WITH cent AS (
+  SELECT cid, ce FROM (VALUES {cent_rows}) v(cid, ce)
+), cb AS (
+  SELECT * FROM (VALUES {cb_rows}) v(m, code, cq)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS crank
+    FROM embeddings e, cent c
+  ) WHERE crank = 1
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS eq
+  FROM embeddings
+), pqscored AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (b.eq[c.m * {PQ_DSUB} + k] - c.cq[k]) ** 2),
+           (x, y) -> x + y) AS d_q
+  FROM base b, cb c
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d_q, code) AS rk
+    FROM pqscored
+  ) WHERE rk = 1
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qemb, b.eq AS qe
+  FROM embeddings e JOIN base b USING (vec_id)
+  WHERE e.vec_id % {QUERY_MOD} = 0
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qemb', 'c.ce')} DESC, c.cid) AS crank
+    FROM q, cent c
+  ) WHERE crank <= {IVF_NPROBE}
+), lut AS (
+  SELECT q.query_id, c.m, c.code,
+         list_reduce(
+           list_transform(range(1, {PQ_DSUB} + 1),
+                          k -> (q.qe[c.m * {PQ_DSUB} + k] - c.cq[k]) ** 2),
+           (x, y) -> x + y) AS ld
+  FROM q, cb c
+), cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+  WHERE a.vec_id != p.query_id
+), s AS (
+  SELECT c.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = cd.m AND l.code = cd.code
+  GROUP BY 1, 2
+), short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
@@ -1453,5 +1591,8 @@ QUERIES = {
     ),
     "embedding_ann_ivfadc_rerank": QuerySpec(
         q_embedding_ann_ivfadc_rerank, SQL_EMBEDDING_IVFADC_RERANK
+    ),
+    "embedding_ann_ivfadc_trained_rerank": QuerySpec(
+        q_embedding_ann_ivfadc_trained_rerank, sql_ivfadc_trained_rerank
     ),
 }
