@@ -1041,6 +1041,250 @@ FROM agg ORDER BY revenue_cents DESC, orderkey LIMIT 10
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: per priority, how many
+    orders in a half-year window had at least one LATE lineitem (this
+    schema has no commit/receipt dates, so "late" = shipped more than
+    60 days after the order date — the same EXISTS shape over the same
+    join key). Physical plan: a LEFT SEMI join on l_orderkey with the
+    non-equi lateness predicate as the join condition — the lineitem
+    side prunes to (l_orderkey, l_shipdate) and orders never duplicate,
+    so the shuffle carries keys + one timestamp, no payload. At 100 TB
+    the date window pushes to both parquet scans and the semi-join
+    partial-aggregates map-side before the tiny priority rollup."""
+    _pin_utc(spark)
+    lo, hi = "1997-01-01", "1997-07-01"
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("late_order_count")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS late_order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: how many customers
+    placed exactly k non-urgent orders, INCLUDING the zero bucket —
+    the left-outer-join-then-double-aggregate shape (this schema's
+    stand-in for Q13's comment filter is the order-priority class).
+    Plan: orders pre-aggregate to (custkey, cnt) BEFORE joining — the
+    join input is one row per customer per side, so the outer join
+    shuffles dimension-sized frames, never the raw order fact. The
+    second aggregate (distribution over cnt) is a few-hundred-key
+    hash-agg that partial-aggregates map-side. Both properties hold
+    unchanged at 10^12 orders."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    joined = cust.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    )
+    return (
+        joined.select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT coalesce(p.cnt, 0) AS c_count, count(*) AS custdist
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: total revenue from
+    lineitems whose quantity is below 20% of that part's average, for
+    one brand. The correlated scalar subquery is restated as a single
+    window pass: broadcast the brand's part keys into the lineitem
+    scan (partkey determines brand, so per-part averages are unchanged
+    by the filter), then sum/count over a l_partkey window — ONE
+    lineitem scan and ONE shuffle instead of the textbook self-join's
+    two. Exactness: `qty < 0.2 * avg` is evaluated as
+    `5 * qty_centi * cnt < sum_centi` — all-integer, so Spark's and
+    DuckDB's different float summation orders cannot flip a boundary
+    row. At 100 TB the broadcast brand filter prunes the scan to one
+    part in ~25 and the window keys are part-sized (no skew: one part's
+    lineitems fit a partition)."""
+    brand = "Brand#13"
+    parts = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        parts, F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty_centi = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.select(
+            qty_centi.alias("qty_centi"),
+            price_cents.alias("price_cents"),
+            F.col("l_partkey"),
+        )
+        .withColumn("sum_centi", F.sum("qty_centi").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.lit(5) * F.col("qty_centi") * F.col("cnt") < F.col("sum_centi"))
+    )
+    return small.agg(
+        F.lit(brand).alias("brand"),
+        F.count("*").cast("long").alias("small_lineitems"),
+        F.sum("price_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT CAST(round(l.l_quantity * 100, 0) AS BIGINT) AS qty_centi,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT))
+              OVER (PARTITION BY l.l_partkey) AS BIGINT) AS sum_centi,
+         CAST(count(*) OVER (PARTITION BY l.l_partkey) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#13'
+)
+SELECT 'Brand#13' AS brand,
+       count(*) AS small_lineitems,
+       CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+FROM li WHERE 5 * qty_centi * cnt < sum_centi
+"""
+
+
+def q_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: per nation, the customers
+    whose balance beats the average POSITIVE balance but who placed no
+    order since 2000-01-01 (every customer here has SOME order, so the
+    dormancy cutoff restores Q22's "no orders" anti-join with real
+    rows). Plan: the one-row global-average aggregate cross-broadcasts
+    into the customer scan (no driver collect — the scalar stays in
+    the plan), the anti-join shuffles only custkeys of post-cutoff
+    orders (date filter pushed to the orders scan), and the final
+    per-nation rollup is dimension-sized. Exactness: `bal > avg` is
+    `bal_cents * cnt > sum_cents`, all-integer on both engines."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    avg_pos = F.broadcast(
+        cust.filter(F.col("bal_cents") > 0).agg(
+            F.sum("bal_cents").alias("sum_cents"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    rich = cust.crossJoin(avg_pos).filter(
+        F.col("bal_cents") * F.col("cnt") > F.col("sum_cents")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("long").alias("balance_cents"),
+    )
+
+
+SQL_INACTIVE_HIGH_BALANCE = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer
+), avg_pos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cust WHERE bal_cents > 0
+)
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_customers,
+       CAST(sum(c.bal_cents) AS BIGINT) AS balance_cents
+FROM cust c, avg_pos a
+WHERE c.bal_cents * a.cnt > a.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON document
+    column; pull `$.k` out as an integer and aggregate it per
+    event_type — the schema-on-read path every log pipeline needs.
+    `get_json_object` is a JVM-side Catalyst expression (no Python in
+    the plan), the parse + projection happen in the scan stage, and
+    the rollup partial-aggregates map-side over a handful of keys.
+    Null discipline: rows whose props lack `$.k` (or carry non-numeric
+    k) count into n_events but not n_with_k — both engines agree
+    because both cast failed extracts to NULL."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (SELECT event_type,
+             TRY_CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events) x
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1063,4 +1307,17 @@ QUERIES = {
     "tpch_q3_shipping_priority": QuerySpec(
         q_shipping_priority, SQL_SHIPPING_PRIORITY
     ),
+    "tpch_q4_order_priority": QuerySpec(
+        q_order_priority_check, SQL_ORDER_PRIORITY_CHECK
+    ),
+    "tpch_q13_order_distribution": QuerySpec(
+        q_customer_order_distribution, SQL_CUSTOMER_ORDER_DISTRIBUTION
+    ),
+    "tpch_q17_small_qty_revenue": QuerySpec(
+        q_small_qty_revenue, SQL_SMALL_QTY_REVENUE
+    ),
+    "tpch_q22_inactive_high_balance": QuerySpec(
+        q_inactive_high_balance, SQL_INACTIVE_HIGH_BALANCE
+    ),
+    "events_json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
 }
