@@ -1026,6 +1026,134 @@ SELECT doc_a, doc_b, cos_sim FROM scored WHERE cos_sim >= {EMB_DUP_THRESH}
 
 
 # --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over the trained quantizer
+# --------------------------------------------------------------------------
+
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", 2023, arXiv:2303.03540):
+# k-means-cluster the embedding space, then look for near-duplicates
+# ONLY within each cluster — the cluster assignment bounds the candidate
+# set, so the quadratic confirm never sees the corpus, only cluster-
+# sized groups. This is the published alternative to hyperplane-LSH
+# bucketing (q_dedup_embedding) and shares its exact-cosine confirm.
+# Keep rule: deterministic lowest-vec_id-wins (a member is removed iff
+# some LOWER id in its cluster is within SEMDEDUP_THRESH cosine).
+SEMDEDUP_THRESH = 0.3  # same planted-near-dup band as EMB_DUP_THRESH
+SEMDEDUP_CLUSTER_CAP = 512  # pairing bound per cluster (cap^2 worst case)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: every vector labeled with its k-means cluster
+    and whether it survives cluster-scoped semantic dedup.
+
+    Scale notes: cluster assignment is the SAME Exchange-free map-side
+    literal-centroid projection the IVF search uses (similarity.
+    ivf_lists over train_centroids), so labeling 10^12 vectors is one
+    scan with zero shuffles. The (cid, vec_id) id-only frame is
+    materialized ONCE (localCheckpoint — durable checkpoint at
+    production scale) and feeds the capping window, both self-join
+    sides, and the output, so the embeddings scan + assignment run
+    exactly once. Pair generation shuffles ids only; embeddings are
+    re-fetched by key join for the capped candidate set, and the
+    per-cluster cap bounds the quadratic confirm at CAP^2 regardless
+    of cluster skew."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.similarity import (
+        _cos_pre,
+        _norm_col,
+        ivf_lists,
+        train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    members = (
+        ivf_lists(emb, train_centroids(sf_dir))
+        .select("cid", "vec_id")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    capped = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SEMDEDUP_CLUSTER_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+    ea = emb.select(
+        F.col("vec_id").alias("lo"),
+        F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("hi"),
+        F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
+    removed = (
+        cand.join(ea, "lo")
+        .join(eb, "hi")
+        .filter(
+            _cos_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            >= SEMDEDUP_THRESH
+        )
+        .select(F.col("hi").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return members.join(removed, "vec_id", "left_outer").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.when(F.col("_rm").isNull(), 1).otherwise(0).cast("long").alias("kept"),
+    )
+
+
+def _semdedup_sql(sf_dir: str) -> str:
+    """Oracle generated from the SAME trained centroids as the Spark
+    plan (QuerySpec callable-SQL form — the quantizer is data-derived);
+    the assignment window's `csim DESC, cid` tiebreak is the proven
+    bit-identical twin of ivf_assign_col (see similarity._ann_ivf_sql)."""
+    from ocr_spark.functions.similarity import _cos_sql, train_centroids
+
+    rows = ", ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(v) for v in ce))
+        for cid, ce in train_centroids(sf_dir)
+    )
+    return f"""
+WITH cent AS (
+  SELECT cid, ce FROM (VALUES {rows}) v(cid, ce)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS crank
+    FROM embeddings e, cent c
+  ) WHERE crank = 1
+), capped AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM assign
+  ) WHERE rn <= {SEMDEDUP_CLUSTER_CAP}
+), cand AS (
+  SELECT a.vec_id AS lo, b.vec_id AS hi
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+), removed AS (
+  SELECT DISTINCT c.hi AS vec_id
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.lo
+              JOIN embeddings eb ON eb.vec_id = c.hi
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_THRESH}
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM assign m LEFT JOIN removed r USING (vec_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # near-dup clusters (connected components over the MinHash pair graph)
 # --------------------------------------------------------------------------
 
@@ -1589,4 +1717,5 @@ QUERIES = {
     "split_leakage_safe": QuerySpec(
         q_split_leakage_safe, _split_leakage_safe_sql()
     ),
+    "dedup_semantic_cluster": QuerySpec(q_dedup_semantic, _semdedup_sql),
 }

@@ -1285,6 +1285,62 @@ GROUP BY 1
 """
 
 
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total report: monthly order revenue per priority class
+    with a cumulative sum over months — the classic ordered-window
+    analytic. Plan: the fact table pre-aggregates to one row per
+    (priority, month) BEFORE the window, so the sort the running total
+    needs runs over a dimension-sized frame (priorities x months — a
+    few hundred rows at any corpus size), never the raw orders; the
+    pre-aggregate itself partial-aggregates map-side. Months are
+    distinct within each priority partition, so ROWS UNBOUNDED
+    PRECEDING..CURRENT equals the default RANGE frame on both engines;
+    sums are integer cents — order-independent, engine-exact."""
+    _pin_utc(spark)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    agg = o.groupBy("priority", "month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "priority",
+        "month",
+        "n_orders",
+        "revenue_cents",
+        F.sum("n_orders").over(w).cast("long").alias("cum_orders"),
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
+
+
+SQL_CUMULATIVE_REVENUE = """
+WITH agg AS (
+  SELECT o_orderpriority AS priority,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, month, n_orders, revenue_cents,
+       CAST(sum(n_orders) OVER (PARTITION BY priority ORDER BY month)
+            AS BIGINT) AS cum_orders,
+       CAST(sum(revenue_cents) OVER (PARTITION BY priority ORDER BY month)
+            AS BIGINT) AS cum_revenue_cents
+FROM agg
+"""
+
+
 QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1320,4 +1376,7 @@ QUERIES = {
         q_inactive_high_balance, SQL_INACTIVE_HIGH_BALANCE
     ),
     "events_json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
+    "orders_cumulative_revenue": QuerySpec(
+        q_cumulative_revenue, SQL_CUMULATIVE_REVENUE
+    ),
 }

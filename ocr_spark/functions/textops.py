@@ -1348,6 +1348,112 @@ FROM est e LEFT JOIN exact x USING (term)
 """
 
 
+# --------------------------------------------------------------------------
+# corpus-shape reports: pivot and exact percentiles
+# --------------------------------------------------------------------------
+
+# The lang axis is a STATIC constant shared by the Spark pivot and the
+# oracle's conditional aggregates. Passing explicit pivot values matters
+# at scale: without them Spark runs an extra distinct-values job over
+# the whole corpus before it can even plan the pivot.
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_docs_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition pivot: documents per (source, lang) as one row
+    per source with one count column per language — the reshape every
+    curation dashboard needs. Plan: a single hash-aggregate on source
+    (pivot with explicit values compiles to first(count) branches inside
+    ONE aggregate, no per-lang scan, no distinct-values pre-job); the
+    output is source-cardinality-sized, so the shuffle is dimension-
+    scale no matter how many documents feed it."""
+    docs = load(spark, sf_dir, "documents")
+    piv = (
+        docs.groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))  # Pivot rejects count(*)'s star
+    )
+    return piv.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang)
+            for lang in PIVOT_LANGS
+        ],
+    )
+
+
+SQL_DOCS_PIVOT = "SELECT source, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE lang = '{lang}') AS BIGINT) AS {lang}"
+    for lang in PIVOT_LANGS
+) + " FROM documents GROUP BY 1"
+
+
+DOC_PCTS = (50, 90, 99)  # integer percents: the quantile compare is exact
+
+
+def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (percentile_disc semantics:
+    the smallest n_chars whose cumulative count reaches p% of the
+    group), computed SCALE-SAFELY via the cumulative distribution
+    instead of Spark's `percentile` aggregate — that one buffers every
+    row of a group in executor memory, a guaranteed OOM on a 10^12-doc
+    group. Here the state is one row per DISTINCT (lang, n_chars): a
+    pre-aggregate shrinks the corpus to value counts, one window pass
+    accumulates them, and the quantile pick is `min(value WHERE
+    cum*100 >= p*total)` — all-integer, so Spark and DuckDB agree to
+    the row. n_chars is unique within the partition after the
+    pre-aggregate, so the default RANGE frame and ROWS are identical."""
+    from pyspark.sql import Window
+
+    vc = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = vc.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return cum.groupBy("lang").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("total"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}")
+            for p in DOC_PCTS
+        ],
+        F.max("n_chars").cast("long").alias("p100"),
+    )
+
+
+SQL_DOCS_PERCENTILES = f"""
+WITH vc AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars,
+         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM vc
+)
+SELECT lang,
+       {", ".join(f"CAST(min(CASE WHEN cum * 100 >= {p} * total THEN n_chars END) AS BIGINT) AS p{p}" for p in DOC_PCTS)},
+       CAST(max(n_chars) AS BIGINT) AS p100
+FROM cum GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "text_quality": QuerySpec(q_quality, SQL_QUALITY),
@@ -1364,4 +1470,8 @@ QUERIES = {
     "text_bm25": QuerySpec(q_text_bm25, _bm25_sql()),
     "text_heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, _cms_sql()),
     "decontaminate_bloom": QuerySpec(q_decontaminate_bloom, _bloom_sql),
+    "docs_pivot_lang": QuerySpec(q_docs_pivot_lang, SQL_DOCS_PIVOT),
+    "docs_length_percentiles": QuerySpec(
+        q_docs_length_percentiles, SQL_DOCS_PERCENTILES
+    ),
 }

@@ -221,6 +221,62 @@ def test_embedding_dedup_cap_bounds_degenerate_cluster(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_semdedup_keeps_one_per_duplicate_group(spark, tmp_path):
+    """SemDeDup semantics on a crafted corpus: 8 duplicate groups of 8
+    IDENTICAL vectors along mutually ORTHOGONAL Hadamard directions.
+    Identical vectors assign to the same cluster by construction (the
+    assignment expression is deterministic in the input), in-group
+    cosine is 1 (removed down to the lowest id), cross-group cosine is
+    exactly 0 (< SEMDEDUP_THRESH — never removed across groups even if
+    co-clustered). So the keep-list must be exactly the 8 group minima,
+    and the crafted corpus must still match the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.dedup import QUERIES
+
+    def hadamard_row(g: int) -> list[float]:
+        # rows of the order-64 Walsh-Hadamard matrix: exactly orthogonal
+        return [
+            1.0 if bin(g & d).count("1") % 2 == 0 else -1.0
+            for d in range(64)
+        ]
+
+    rows = [
+        {"vec_id": i, "embedding": hadamard_row(i // 8), "label": 0}
+        for i in range(64)
+    ]
+    d = tmp_path / "sf_semdedup"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    spec = QUERIES["dedup_semantic_cluster"]
+    out = {
+        int(r["vec_id"]): (int(r["cid"]), int(r["kept"]))
+        for r in spec.fn(spark, str(d)).collect()
+    }
+    assert len(out) == 64
+    kept = sorted(v for v, (_, k) in out.items() if k == 1)
+    assert kept == [0, 8, 16, 24, 32, 40, 48, 56], kept
+    for g in range(8):
+        cids = {out[i][0] for i in range(8 * g, 8 * g + 8)}
+        assert len(cids) == 1, (g, cids)  # identical vectors co-cluster
+    r = compare_query(spark, str(d), "dedup_semantic_cluster", spec)
+    assert r["ok"], r["detail"]
+
+
 def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     """VERDICT r2 #6: the spherical-k-means quantizer must be (a)
     deterministic — the same centroid literals are inlined into the
