@@ -1341,6 +1341,136 @@ FROM agg
 """
 
 
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: the 3 highest-revenue customers of every
+    nation. Plan: orders pre-aggregate to one row per customer (the
+    only corpus-sized shuffle), join customer for the nation key, then
+    a rank-filter window per nation. Spark's WindowGroupLimit rewrite
+    (rank <= k directly above the window) keeps only k rows per
+    partition on BOTH the map side and the reduce side — the executor
+    never buffers a whole nation's customers, so a nation with 10^9
+    customers costs the same window state as one with 100. Ties break
+    on custkey, so the pick is deterministic on both engines."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue_cents"), F.asc("c_custkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "revenue_cents",
+        )
+    )
+
+
+SQL_TOP_CUSTOMERS_PER_NATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c.c_nationkey, c.c_custkey, p.revenue_cents,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY p.revenue_cents DESC, c.c_custkey) AS rnk
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey AS custkey,
+       CAST(rnk AS BIGINT) AS rnk, revenue_cents
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_distinct_users_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event_type, written as the
+    two-stage aggregation a skewed corpus needs: stage 1 dedups
+    (event_type, user_id) — partial-aggregated map-side and spread
+    across the full key×user space — stage 2 counts the dedup'd rows
+    per key. A direct countDistinct over a handful of event types
+    funnels every distinct user of a type into ONE reduce task's
+    aggregation state (Spark plans it as a two-pass expand but the
+    final per-key state still concentrates); this shape keeps both
+    shuffles uniform no matter how skewed the 5-key distribution is at
+    10^12 events."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    stage1 = ev.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
+    return stage1.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+SQL_DISTINCT_USERS_SKEWSAFE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+SALT_R = 4  # fact-side salt fan-out for the skewed large-large join
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large skew-join pattern: orders x customer on custkey with
+    an explicit salt — the mitigation for a hot key that AQE's skew
+    split cannot always reach (e.g. a single custkey holding 1% of
+    10^12 orders). The dimension side replicates SALT_R ways (explode
+    over a literal range — map-side, no shuffle of its own), the fact
+    side tags a deterministic salt from its PRIMARY key (any hash
+    works: the salt only spreads partitions, the join key still decides
+    matches), and the join runs on (custkey, salt) — the hot key's rows
+    now land in SALT_R different reducers. The salt never reaches the
+    result, so the oracle is the PLAIN join: equality with it proves
+    salting is a pure partitioning rewrite. Downstream, the per-nation
+    rollup partial-aggregates map-side."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_rep = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_R)]))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.pmod(F.hash("o_orderkey"), F.lit(SALT_R)).alias("salt"),
+    )
+    # the hint encodes the design point: at 10^12 rows the customer
+    # dimension does NOT fit a broadcast, so the salt must reach a real
+    # shuffle (at test scale Spark would otherwise broadcast the tiny
+    # fixture dim and the rewrite would demonstrate nothing)
+    joined = orders.join(
+        cust_rep.hint("shuffle_hash"),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (orders["salt"] == cust_rep["salt"]),
+    )
+    return joined.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tpch_q1_pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1378,5 +1508,14 @@ QUERIES = {
     "events_json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
     "orders_cumulative_revenue": QuerySpec(
         q_cumulative_revenue, SQL_CUMULATIVE_REVENUE
+    ),
+    "top_customers_per_nation": QuerySpec(
+        q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION
+    ),
+    "events_distinct_users_skewsafe": QuerySpec(
+        q_distinct_users_skewsafe, SQL_DISTINCT_USERS_SKEWSAFE
+    ),
+    "orders_salted_join_revenue": QuerySpec(
+        q_salted_join_revenue, SQL_SALTED_JOIN_REVENUE
     ),
 }

@@ -585,3 +585,38 @@ def test_bloom_decontaminate_is_pure_map_side(spark):
     assert "Exchange" not in tree, plan
     assert "Join" not in tree, plan
     assert tree.count("Scan parquet") == 1, plan
+
+
+def test_top_n_per_group_uses_window_group_limit(spark):
+    """The per-nation top-3 must compile with Spark's WindowGroupLimit
+    rewrite: rank-filter pushed into the window so executors hold k
+    rows per partition, never a whole nation's customers."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["top_customers_per_nation"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in tree, plan
+
+
+def test_salted_join_partitions_on_salt(spark):
+    """The salted skew join must exchange the fact side on a key set
+    that INCLUDES the salt column — the whole point is the hot custkey
+    spreading over SALT_R reducers — and no broadcast may swallow the
+    demonstration (the dim side is 'too big to broadcast' at the
+    design point)."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["orders_salted_join_revenue"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1]
+    salted_exchanges = [
+        l
+        for l in tree.splitlines()
+        if "hashpartitioning" in l and "salt" in l
+    ]
+    assert salted_exchanges, plan
