@@ -178,58 +178,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     queries["extract_hybrid"] = round(best["hybrid"], 3)
     queries["extract_staged"] = round(best["staged"], 3)
 
-    headline = [
-        "text_boilerplate",
-        "text_token_stats",
-        "dedup_exact",
-        "dedup_exact_stream",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
-        "dedup_clusters",
-        "dedup_representatives",
-        "dedup_incremental",
-        "split_leakage_safe",
-        "dedup_substring",
-        "dedup_substring_rewrite",
-        "sample_stratified",
-        "vocab_top_terms",
-        "text_repetition",
-        "decontaminate_ngram_overlap",
-        "decontaminate_bloom",
-        "pack_sequences",
-        "text_bigram_rarity",
-        "text_bm25",
-        "curate_pack_pipeline",
-        "embedding_cosine_topk",
-        "embedding_ann_lsh",
-        "embedding_ann_ivf",
-        "embedding_ann_ivf_trained",
-        "ivf_train_kmeans",
-        "embedding_pq_encode",
-        "embedding_ann_adc",
-        "embedding_ann_adc_trained",
-        "embedding_ann_ivfadc",
-        "embedding_ann_ivfadc_rerank",
-        "embedding_ann_ivfadc_trained_rerank",
-        "events_sessionize",
-        "events_funnel",
-        "events_distinct_hll",
-        "events_quantile_sketch",
-        "text_heavy_hitters_cms",
-        "events_asof_join",
-        "events_range_join",
-        "events_rollup_sets",
-        "events_rollup_stream",
-        "events_span_reassembly",
-        "tpch_revenue_by_nation",
-        "tpch_q3_shipping_priority",
-        "dim_scd2_upsert",
-        "infer_output_parse",
-        "media_video_frames",
-        "media_audio_features",
-    ]
+    # measure EVERY registered query: a curated list silently dropped
+    # newly added operators from the artifact once; deriving from the
+    # registry keeps BENCH coverage == driver coverage by construction
+    headline = sorted(all_queries())
     specs = all_queries()
     for name in headline:
         queries[name] = round(

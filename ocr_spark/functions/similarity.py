@@ -267,7 +267,13 @@ SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {LSH_TOPK}
 # dots. 32/8 clears the >=0.7 bar while scanning the smallest corpus
 # fraction — note the fixture embeddings are i.i.d. random (the
 # adversarial case for any ANN index); clustered real embeddings give
-# higher recall at the same probe fraction.
+# higher recall at the same probe fraction. At sf0.1 the same curve
+# sits lower (32/8: 0.65, 16/8: 0.84 — bench ivf_curve): with i.i.d.
+# vectors recall tracks the probed-list FRACTION, so a 5x bigger
+# corpus at fixed K spreads true neighbors over more lists. On real
+# (clustered) embeddings K grows with corpus size — sqrt(N) is the
+# usual rule — which holds the probe fraction and recall steady; the
+# constants here stay fixed so the oracle literals are reproducible.
 IVF_K = 32  # coarse centroid count
 IVF_NPROBE = 8
 IVF_TOPK = 5
