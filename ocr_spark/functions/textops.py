@@ -68,8 +68,10 @@ FROM documents
 _SW_LIST = sorted(STOPWORDS)
 
 
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _quality_cols():
+    """(n_words, stop_ratio, punct_density, rounded score) column
+    4-tuple — the ONE Spark-side definition of document quality, shared
+    by q_quality and the budgeted selection so the two cannot drift."""
     toks = _ws_tokens(F.lower(F.col("text")))
     sw = F.array(*[F.lit(w) for w in _SW_LIST])
     n_words = F.size(toks)
@@ -83,19 +85,27 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(F.lit(1.0), n_words / F.lit(100.0))
         + 0.3 * (1.0 - punct_density)
     )
+    return n_words, stop_ratio, punct_density, F.round(score, 6)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_words, stop_ratio, punct_density, score6 = _quality_cols()
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_density, 6).alias("punct_density"),
-        F.round(score, 6).alias("quality_score"),
+        score6.alias("quality_score"),
     )
 
 
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _SW_LIST) + "]"
 
-SQL_QUALITY = f"""
-WITH t AS (
+# shared oracle fragments (the one SQL-side quality definition, mirrored
+# from _quality_cols): t/f CTE chain producing per-doc counters, plus the
+# rounded score expression over f's columns
+_QUALITY_CTES = f"""t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS toks
   FROM documents
@@ -106,13 +116,18 @@ WITH t AS (
          len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
          length(text) AS n_chars
   FROM t
-)
+)"""
+
+_SCORE6_SQL = """round(0.4 * (CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+           + 0.3 * least(1.0, n_words / 100.0)
+           + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)), 6)"""
+
+SQL_QUALITY = f"""
+WITH {_QUALITY_CTES}
 SELECT doc_id, n_words,
        round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
        round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_density,
-       round(0.4 * (CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END)
-           + 0.3 * least(1.0, n_words / 100.0)
-           + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)), 6)
+       {_SCORE6_SQL}
          AS quality_score
 FROM f
 """
@@ -1349,6 +1364,116 @@ FROM est e LEFT JOIN exact x USING (term)
 
 
 # --------------------------------------------------------------------------
+# quality-budgeted corpus selection (histogram threshold, map-side keep)
+# --------------------------------------------------------------------------
+
+# "Keep the best-quality documents per language until a token budget is
+# spent" — the selection step of every curation pipeline. The naive form
+# sorts each language's corpus by quality and walks it until the budget
+# runs out: a global per-group sort, dead at 10^12 docs. The scale-right
+# restatement picks a quality THRESHOLD from a bounded histogram
+# instead: quantize the score into SCOREBIN_Q integer bins, aggregate
+# tokens per (lang, bin) — a ≤ langs x (SCOREBIN_Q+1)-row frame — walk
+# the bins best-first until the budget fills, then keep each doc with a
+# map-side `bin >= threshold` test against the broadcast threshold
+# table. Budget granularity is one histogram bin (documented trade);
+# everything is integer-exact, so both engines pick identical keep sets.
+SCOREBIN_Q = 1000  # score in [0,1] -> integer bin 0..1000
+BUDGET_NUM, BUDGET_DEN = 1, 2  # keep at most 1/2 of each lang's tokens
+
+
+def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep decision under a per-language token budget.
+
+    Two passes over the corpus BY DESIGN (the alternative — caching a
+    corpus-sized doc frame — trades a bounded histogram for
+    corpus-sized state): pass 1 is scan → map-side (lang, bin, tokens)
+    → one dimension-sized hash-aggregate; the threshold walk is a
+    window over ≤ SCOREBIN_Q rows per lang; pass 2 re-scans with the
+    tiny threshold table broadcast, so the keep flag is a pure
+    projection. A kept bin satisfies cum_tokens(best..bin) * BUDGET_DEN
+    <= total * BUDGET_NUM — all-integer, no float budget compare."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, score6 = _quality_cols()
+    qbin = F.round(score6 * SCOREBIN_Q).cast("long")
+    n_tokens = F.size(_ws_tokens(F.col("text"))).cast("long")
+    d = docs.select(
+        "doc_id", "lang", qbin.alias("qbin"), n_tokens.alias("n_tokens")
+    )
+    bins = d.groupBy("lang", "qbin").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("qbin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = bins.select(
+        "lang",
+        "qbin",
+        F.sum("bin_tokens").over(w_cum).alias("cum_tokens"),
+        F.sum("bin_tokens").over(w_all).alias("total_tokens"),
+    )
+    thresh = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum_tokens") * BUDGET_DEN
+                <= F.col("total_tokens") * BUDGET_NUM,
+                F.col("qbin"),
+            )
+        ).alias("min_bin")
+    )
+    return d.join(F.broadcast(thresh), "lang", "left_outer").select(
+        "doc_id",
+        "lang",
+        "qbin",
+        "n_tokens",
+        F.when(
+            F.col("min_bin").isNotNull() & (F.col("qbin") >= F.col("min_bin")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+SQL_QUALITY_BUDGET = f"""
+WITH {_QUALITY_CTES}, q AS (
+  SELECT doc_id,
+         CAST(round({_SCORE6_SQL} * {SCOREBIN_Q}) AS BIGINT) AS qbin
+  FROM f
+), d AS (
+  SELECT doc.doc_id, doc.lang, q.qbin,
+         CAST(len(list_filter(string_split_regex(doc.text, '\\s+'),
+                              w -> w != '')) AS BIGINT) AS n_tokens
+  FROM documents doc JOIN q ON q.doc_id = doc.doc_id
+), bins AS (
+  SELECT lang, qbin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+  FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT lang, qbin,
+         CAST(sum(bin_tokens) OVER (PARTITION BY lang ORDER BY qbin DESC)
+              AS BIGINT) AS cum_tokens,
+         CAST(sum(bin_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens
+  FROM bins
+), thresh AS (
+  SELECT lang,
+         min(CASE WHEN cum_tokens * {BUDGET_DEN} <= total_tokens * {BUDGET_NUM}
+                  THEN qbin END) AS min_bin
+  FROM cum GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.qbin, d.n_tokens,
+       CAST(CASE WHEN t.min_bin IS NOT NULL AND d.qbin >= t.min_bin
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM d LEFT JOIN thresh t USING (lang)
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus-shape reports: pivot and exact percentiles
 # --------------------------------------------------------------------------
 
@@ -1473,5 +1598,8 @@ QUERIES = {
     "docs_pivot_lang": QuerySpec(q_docs_pivot_lang, SQL_DOCS_PIVOT),
     "docs_length_percentiles": QuerySpec(
         q_docs_length_percentiles, SQL_DOCS_PERCENTILES
+    ),
+    "curate_quality_budget": QuerySpec(
+        q_quality_budget_select, SQL_QUALITY_BUDGET
     ),
 }

@@ -277,6 +277,42 @@ def test_semdedup_keeps_one_per_duplicate_group(spark, tmp_path):
     assert r["ok"], r["detail"]
 
 
+def test_quality_budget_is_within_budget_and_greedy_maximal(spark):
+    """The budgeted selection must (a) spend at most BUDGET_NUM/DEN of
+    each language's tokens, (b) be bin-greedy-maximal: if any bin was
+    excluded, adding the best excluded bin would bust the budget, and
+    (c) keep a bin-prefix: every kept doc's bin >= every excluded
+    doc's bin within the language."""
+    from collections import defaultdict
+
+    from ocr_spark.functions.textops import BUDGET_DEN, BUDGET_NUM, QUERIES
+
+    rows = QUERIES["curate_quality_budget"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    assert len(by_lang) >= 2
+    saw_exclusion = False
+    for lang, rs in by_lang.items():
+        total = sum(r["n_tokens"] for r in rs)
+        kept_tokens = sum(r["n_tokens"] for r in rs if r["kept"])
+        assert kept_tokens * BUDGET_DEN <= total * BUDGET_NUM, lang
+        excluded = [r for r in rs if not r["kept"]]
+        if excluded:
+            saw_exclusion = True
+            kept_bins = {r["qbin"] for r in rs if r["kept"]}
+            best_excl_bin = max(r["qbin"] for r in excluded)
+            if kept_bins:
+                assert min(kept_bins) > best_excl_bin, lang  # bin prefix
+            bust = kept_tokens + sum(
+                r["n_tokens"] for r in excluded if r["qbin"] == best_excl_bin
+            )
+            assert bust * BUDGET_DEN > total * BUDGET_NUM, lang  # maximal
+    assert saw_exclusion  # the fixture corpus must exercise the cut
+
+
 def test_trained_ivf_is_deterministic_and_lifts_recall(spark):
     """VERDICT r2 #6: the spherical-k-means quantizer must be (a)
     deterministic — the same centroid literals are inlined into the
