@@ -1042,7 +1042,9 @@ SEMDEDUP_THRESH = 0.3  # same planted-near-dup band as EMB_DUP_THRESH
 SEMDEDUP_CLUSTER_CAP = 512  # pairing bound per cluster (cap^2 worst case)
 
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_semantic(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """SemDeDup keep-list: every vector labeled with its k-means cluster
     and whether it survives cluster-scoped semantic dedup.
 
@@ -1050,13 +1052,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-centroid projection the IVF search uses (similarity.
     ivf_lists over train_centroids), so labeling 10^12 vectors is one
     scan with zero shuffles. The (cid, vec_id) id-only frame is
-    materialized ONCE (localCheckpoint — durable checkpoint at
-    production scale) and feeds the capping window, both self-join
+    materialized ONCE and feeds the capping window, both self-join
     sides, and the output, so the embeddings scan + assignment run
-    exactly once. Pair generation shuffles ids only; embeddings are
-    re-fetched by key join for the capped candidate set, and the
-    per-cluster cap bounds the quadratic confirm at CAP^2 regardless
-    of cluster skew."""
+    exactly once. `checkpoint_dir` selects the durable materialization
+    (reliable df.checkpoint, survives executor loss — the production
+    posture) over the default executor-local localCheckpoint, via the
+    same _ckpt_factory q_dedup_clusters uses. Pair generation shuffles
+    ids only; embeddings are re-fetched by key join for the capped
+    candidate set, and the per-cluster cap bounds the quadratic
+    confirm at CAP^2 regardless of cluster skew."""
     from pyspark.sql.window import Window
 
     from ocr_spark.functions.similarity import (
@@ -1066,11 +1070,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
 
+    ckpt = _ckpt_factory(spark, checkpoint_dir)
     emb = load(spark, sf_dir, "embeddings")
-    members = (
-        ivf_lists(emb, train_centroids(sf_dir))
-        .select("cid", "vec_id")
-        .localCheckpoint()
+    members = ckpt(
+        ivf_lists(emb, train_centroids(sf_dir)).select("cid", "vec_id")
     )
     w = Window.partitionBy("cid").orderBy("vec_id")
     capped = (

@@ -1405,11 +1405,18 @@ def q_distinct_users_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation state (Spark plans it as a two-pass expand but the
     final per-key state still concentrates); this shape keeps both
     shuffles uniform no matter how skewed the 5-key distribution is at
-    10^12 events."""
+    10^12 events.
+
+    Stage 2 counts NON-NULL user_ids (F.count(col), not count(*)) so
+    the two-stage form agrees with COUNT(DISTINCT user_id) by
+    construction: groupBy keeps a NULL-user group, which SQL's
+    DISTINCT aggregate excludes — and an event_type whose users are
+    ALL NULL still appears with n_users = 0, exactly as the oracle's
+    GROUP BY does."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     stage1 = ev.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
     return stage1.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_users")
+        F.count("user_id").cast("long").alias("n_users")
     )
 
 

@@ -1419,3 +1419,58 @@ def test_scd2_upsert_invariants(spark):
     ins = per_key.filter(F.col("custkey") >= SCD2_NEW_KEY_OFFSET)
     assert ins.count() > 0
     assert ins.filter((F.col("n") != 1) | (F.col("mx") != 1)).count() == 0
+
+
+def test_distinct_users_skewsafe_null_users(spark, tmp_path):
+    """NULL user_ids must not count as a distinct user (SQL's
+    COUNT(DISTINCT) excludes NULLs), and an event_type whose users are
+    ALL NULL must still appear with n_users = 0 — the crafted table
+    plants both cases, then checks oracle parity the driver's way."""
+    from datetime import datetime as DT
+
+    from ocr_spark.functions.relational import QUERIES
+
+    t = DT.fromisoformat
+    rows = [
+        # "view": users 1, 1, 2 and one NULL -> 2 distinct
+        dict(event_id=1, ts=t("2024-01-01T10:00:00"), user_id=1,
+             event_type="view", value=1.0, props="{}"),
+        dict(event_id=2, ts=t("2024-01-01T10:01:00"), user_id=1,
+             event_type="view", value=1.0, props="{}"),
+        dict(event_id=3, ts=t("2024-01-01T10:02:00"), user_id=2,
+             event_type="view", value=1.0, props="{}"),
+        dict(event_id=4, ts=t("2024-01-01T10:03:00"), user_id=None,
+             event_type="view", value=1.0, props="{}"),
+        # "ghost": ONLY NULL users -> group present, 0 distinct
+        dict(event_id=5, ts=t("2024-01-01T10:04:00"), user_id=None,
+             event_type="ghost", value=1.0, props="{}"),
+        dict(event_id=6, ts=t("2024-01-01T10:05:00"), user_id=None,
+             event_type="ghost", value=1.0, props="{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    spec = QUERIES["events_distinct_users_skewsafe"]
+    got = {r["event_type"]: r["n_users"] for r in spec.fn(spark, sf).collect()}
+    assert got == {"view": 2, "ghost": 0}
+    r = compare_query(spark, sf, "events_distinct_users_skewsafe", spec)
+    assert r["ok"], r["detail"]
+
+
+def test_dedup_semantic_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= swaps the member frame's localCheckpoint for a
+    durable spark.checkpoint (the production executor-loss posture):
+    same keep-list, checkpoint files on disk."""
+    import os
+
+    from ocr_spark.functions.dedup import q_dedup_semantic
+
+    ckpt_dir = str(tmp_path / "sem_ckpt")
+    base = {tuple(r) for r in q_dedup_semantic(spark, SF_DIR).collect()}
+    durable = {
+        tuple(r)
+        for r in q_dedup_semantic(
+            spark, SF_DIR, checkpoint_dir=ckpt_dir
+        ).collect()
+    }
+    assert base == durable
+    found = [f for _, _, fs in os.walk(ckpt_dir) for f in fs]
+    assert found, "durable checkpoint wrote nothing"
