@@ -1202,6 +1202,7 @@ def _ivfadc_scored(
     centroids=None,
     books=None,
     cent_type: str = "float",
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc_d) ADC distances restricted to the
     IVF-probed lists — the shared core of q_embedding_ann_ivfadc and
@@ -1239,16 +1240,17 @@ def _ivfadc_scored(
         F.col("embedding").alias("qemb"),
         _km_eq_col().alias("qe"),
     )
-    # probe: nearest IVF_NPROBE centroids per query by the same rounded
+    # probe: nearest `nprobe` centroids per query by the same rounded
     # cosine + tie rule as _ivf_search's assign (window over the tiny
-    # query set only)
+    # query set only); default IVF_NPROBE, sweepable for the bench's
+    # recall-cost curve
     pscore = q.join(cent).select(
         "query_id", "cid", _cos(F.col("qemb"), F.col("ce")).alias("csim")
     )
     pw = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probes = (
         pscore.withColumn("crank", F.row_number().over(pw))
-        .filter(F.col("crank") <= IVF_NPROBE)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "cid")
     )
     ld = F.aggregate(
@@ -1387,10 +1389,14 @@ ADC_RERANK = 50  # 10x ADC_TOPK shortlist
 
 
 def _rerank_tail(
-    spark: SparkSession, sf_dir: str, scored: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    scored: DataFrame,
+    rerank: int = ADC_RERANK,
 ) -> DataFrame:
     """ADC top-R shortlist -> exact-cosine re-rank (shared by the
-    stand-in and trained IVFADC rerank variants)."""
+    stand-in and trained IVFADC rerank variants; R defaults to
+    ADC_RERANK, sweepable for the bench's recall-cost curve)."""
     from pyspark.sql.window import Window
 
     ws = Window.partitionBy("query_id").orderBy(
@@ -1398,7 +1404,7 @@ def _rerank_tail(
     )
     short = (
         scored.withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= ADC_RERANK)
+        .filter(F.col("srk") <= rerank)
         .select("query_id", "neighbor_id")
     )
     emb = load(spark, sf_dir, "embeddings")
