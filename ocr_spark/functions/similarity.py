@@ -1586,6 +1586,159 @@ SELECT query_id, neighbor_id, rnk, csim FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# label-aware training-data ops: cluster purity + hard-negative mining
+# --------------------------------------------------------------------------
+
+NEG_K = 5  # hard negatives mined per query vector
+
+
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of every trained k-means cluster — the cluster-
+    quality diagnostic a SemDeDup-style curation pipeline reads before
+    trusting cluster-scoped decisions (pruning inside a low-purity
+    cluster mixes semantic classes).
+
+    Scale notes: assignment is the same Exchange-free map-side
+    literal-centroid projection the IVF search uses (ivf_lists over
+    train_centroids), so labeling 10^12 vectors is one scan with zero
+    shuffles; the only Exchanges carry (cid, label, count) rows and
+    then K cluster rows. Both per-cluster windows (majority rank,
+    total) share one partitioning. Purity is emitted in EXACT integer
+    arithmetic (ppm via integer DIV) so the oracle comparison never
+    rides cross-engine float division."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = ivf_lists(emb, train_centroids(sf_dir)).select("cid", "vec_id")
+    per = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n_lab"))
+    )
+    wr = Window.partitionBy("cid").orderBy(
+        F.col("n_lab").desc(), F.col("label")
+    )
+    wt = Window.partitionBy("cid")
+    ranked = per.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.sum("n_lab").over(wt)
+    )
+    return (
+        ranked.filter(F.col("r") == 1)
+        .withColumn("majority_n", F.col("n_lab"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n").cast("long").alias("n"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("majority_n").cast("long").alias("majority_n"),
+            F.expr("1000000 * n_lab DIV n").cast("long").alias("purity_ppm"),
+        )
+    )
+
+
+def sql_cluster_label_purity(sf_dir: str) -> str:
+    """Callable oracle: the proven bit-identical assignment CTE (same
+    tiebreak as ivf_assign_col) with trained centroids inlined, purity
+    by integer division."""
+    rows = ", ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(v) for v in ce))
+        for cid, ce in train_centroids(sf_dir)
+    )
+    return f"""
+WITH cent AS (
+  SELECT cid, ce FROM (VALUES {rows}) v(cid, ce)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS crank
+    FROM embeddings e, cent c
+  ) WHERE crank = 1
+), per AS (
+  SELECT a.cid, e.label, count(*) AS n_lab
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT cid, label, n_lab,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY n_lab DESC, label) AS r,
+         SUM(n_lab) OVER (PARTITION BY cid) AS n
+  FROM per
+)
+SELECT CAST(cid AS BIGINT) AS cid, CAST(n AS BIGINT) AS n,
+       CAST(label AS BIGINT) AS majority_label,
+       CAST(n_lab AS BIGINT) AS majority_n,
+       CAST((1000000 * n_lab) // n AS BIGINT) AS purity_ppm
+FROM ranked WHERE r = 1
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the NEG_K most-cosine-similar vectors carrying a DIFFERENT label —
+    the negatives that sit closest to the decision boundary.
+
+    Scale notes: same shape as q_cosine_topk (the exact baseline —
+    the IVF/ADC machinery drops in for the approximate path at 10^12):
+    tiny query side broadcast so the corpus scan never shuffles, label
+    mismatch filtered before scoring leaves the map side, one
+    per-query top-k window over (query_id, neighbor_id, cos_sim)
+    triples only."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        _norm_col(F.col("embedding")).alias("en"),
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("en").alias("qn"),
+        F.col("label").alias("qlabel"),
+    )
+    joined = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NEG_K)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qe', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e
+    ON e.vec_id != q.query_id AND e.label != q.qlabel
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= {NEG_K}
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
@@ -1606,5 +1759,11 @@ QUERIES = {
     ),
     "embedding_ann_ivfadc_trained_rerank": QuerySpec(
         q_embedding_ann_ivfadc_trained_rerank, sql_ivfadc_trained_rerank
+    ),
+    "embedding_cluster_label_purity": QuerySpec(
+        q_cluster_label_purity, sql_cluster_label_purity
+    ),
+    "embedding_hard_negatives": QuerySpec(
+        q_hard_negatives, SQL_HARD_NEGATIVES
     ),
 }

@@ -620,3 +620,57 @@ def test_salted_join_partitions_on_salt(spark):
         if "hashpartitioning" in l and "salt" in l
     ]
     assert salted_exchanges, plan
+
+
+def test_cluster_label_purity_single_scan_shared_window(spark):
+    """The purity query's assignment must stay the Exchange-free
+    map-side projection (no Window over the corpus for assignment),
+    and the two per-cluster windows (majority rank + total) must share
+    ONE partitioning: after the (cid,label) hash-agg there is exactly
+    one Exchange into the window stage, carrying count rows only."""
+    from ocr_spark.functions.similarity import QUERIES
+
+    import re
+
+    df = QUERIES["embedding_cluster_label_purity"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    # the ASCII tree is the first paragraph after the header; the
+    # detail sections repeat every operator name and would double-count
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+    # one window stage: the majority-rank and per-cluster-total windows
+    # share the cid partitioning (two Window nodes, zero Sort/Exchange
+    # between them); assignment contributes none (it is a projection)
+    windows = [l for l in tree.splitlines() if "Window" in l]
+    assert len(windows) == 2, plan
+    w0, w1 = (tree.splitlines().index(l) for l in windows)
+    between = tree.splitlines()[min(w0, w1) + 1 : max(w0, w1)]
+    assert not any("Exchange" in l or "Sort" in l for l in between), plan
+    # shuffle Exchanges: agg partial->final on (cid,label), then one
+    # into the cid window (the dim-side BroadcastExchange is not a
+    # shuffle) — and no Exchange block ever carries the embedding array
+    shuffles = [
+        l
+        for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) <= 2, plan
+    for block in re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        assert "embedding#" not in block, block
+
+
+def test_hard_negatives_broadcast_query_side(spark):
+    """Hard-negative mining must broadcast the query side (the corpus
+    scan never shuffles to score) and rank with a single per-query
+    window; no CartesianProduct."""
+    from ocr_spark.functions.similarity import QUERIES
+
+    df = QUERIES["embedding_hard_negatives"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, plan
+    assert "CartesianProduct" not in tree, plan
+    assert "SortMergeJoin" not in tree, plan
