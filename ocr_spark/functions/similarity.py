@@ -1385,7 +1385,14 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 # the cosine truth) that R=25 recovered only 0.21 recall@5 at sf0.1;
 # R=50 more than doubles it while the rerank stays n_queries*R point
 # lookups (the IVF probe itself caps what any R can reach)
-ADC_RERANK = 50  # 10x ADC_TOPK shortlist
+# Exact-rerank shortlist depth. Chosen from the measured (R, nprobe)
+# recall-cost curve (bench.py ivfadc_rerank_curve, r5 @ sf0.1): at the
+# production probe budget nprobe=8 (1/4 of IVF_K lists), R=100 lifts
+# recall@5 0.455 -> 0.585 over R=50 at equal wall (the rerank is R
+# point lookups per query — negligible either way); R beyond 100 is
+# bounded by what the probed lists contain, so deeper shortlists buy
+# nothing until nprobe rises.
+ADC_RERANK = 100
 
 
 def _rerank_tail(
