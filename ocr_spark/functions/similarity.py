@@ -1380,11 +1380,6 @@ SELECT query_id, neighbor_id, rnk, adc_d FROM (
 # lookups on the sorted/bucketed table), the query side broadcasts, and
 # the shortlist shuffle carries only (query_id, neighbor_id). Recall
 # approaches exact-IVF at the same nprobe while the scan stays PQ-coded.
-# R chosen from the measured recall: the untrained-codebook ADC
-# ordering is distorted enough (integer L2 on first-KSUB codebooks vs
-# the cosine truth) that R=25 recovered only 0.21 recall@5 at sf0.1;
-# R=50 more than doubles it while the rerank stays n_queries*R point
-# lookups (the IVF probe itself caps what any R can reach)
 # Exact-rerank shortlist depth. Chosen from the measured (R, nprobe)
 # recall-cost curve (bench.py ivfadc_rerank_curve, r5 @ sf0.1): at the
 # production probe budget nprobe=8 (1/4 of IVF_K lists), R=100 lifts
