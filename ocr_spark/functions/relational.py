@@ -1426,6 +1426,181 @@ FROM events GROUP BY 1
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation over
+    one order year, counting only lineitems whose SUPPLIER sits in the
+    same nation as the ordering customer — Q5's signature non-key
+    equality (s_nationkey = c_nationkey) surviving intact.
+
+    Plan discipline for 10^12 rows: the year filter pushes to the
+    orders scan; lineitem joins orders on orderkey (the one fact-fact
+    shuffle); customer and supplier join by key under shuffle_hash
+    hints — BOTH are corpus-sized at the design point, broadcasting
+    them is the test-scale trap q_salted_join_revenue documents — and
+    only the 25-row nation dim broadcasts. The nation-equality filter
+    drops cross-nation rows BEFORE the rollup, and the final aggregate
+    is 25 rows with map-side partials."""
+    _pin_utc(spark)
+    lo, hi = "1997-01-01", "1998-01-01"
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev_cents.alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            supp.hint("shuffle_hash"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name AS nation,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue change: one filtered scan, zero
+    joins, one row out — the query whose entire cost at 10^12 rows is
+    scan bandwidth, which makes it the canary for predicate pushdown:
+    the date range, discount band, and quantity cap must ALL reach the
+    parquet reader (plan-test asserts PushedFilters), and the aggregate
+    partial-combines map-side to a single row. The discount band uses
+    epsilon margins (0.035/0.075 around the 0.04-0.07 hundredths grid)
+    so no float equality sits on a representation boundary in either
+    engine."""
+    _pin_utc(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.035)
+        & (F.col("l_discount") <= 0.075)
+        & (F.col("l_quantity") < 24)
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("long")
+    return li.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(rev_cents).cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.035 AND l_discount <= 0.075
+  AND l_quantity < 24
+"""
+
+
+# Q19-style disjunctive brackets: (brand, size lo-hi, quantity lo-hi)
+Q19_BRACKETS = (
+    ("Brand#12", 1, 15, 1, 20),
+    ("Brand#14", 1, 20, 10, 30),
+    ("Brand#16", 1, 35, 20, 50),
+)
+
+
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped bracketed revenue: lineitem x part under an
+    OR-of-ANDs predicate (three brand/size/quantity brackets), one row
+    out. Plan discipline: the dim side is pre-filtered to
+    bracket-ELIGIBLE parts (the union of the brand+size legs) before
+    the broadcast, so the build side ships only candidate parts even
+    when the parts table is large; the full disjunction then rides the
+    join as its residual condition — the quantity legs can only be
+    decided per matched pair. Generated from Q19_BRACKETS on both
+    sides, so Spark and the oracle can never drift."""
+    part_leg = None
+    pair_leg = None
+    for brand, slo, shi, qlo, qhi in Q19_BRACKETS:
+        pl = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+        )
+        jl = pl & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+        part_leg = pl if part_leg is None else (part_leg | pl)
+        pair_leg = jl if pair_leg is None else (pair_leg | jl)
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(part_leg)
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", rev_cents.alias("cents")
+    )
+    j = li.join(part, (F.col("l_partkey") == F.col("p_partkey")) & pair_leg)
+    return j.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def _q19_sql() -> str:
+    legs = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRACKETS
+    )
+    return f"""
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {legs}
+"""
+
+
+SQL_BRACKETED_REVENUE = _q19_sql()
+
+
 SALT_R = 4  # fact-side salt fan-out for the skewed large-large join
 
 
@@ -1544,6 +1719,15 @@ QUERIES = {
     ),
     "tpch_q22_inactive_high_balance": QuerySpec(
         q_inactive_high_balance, SQL_INACTIVE_HIGH_BALANCE
+    ),
+    "tpch_q5_local_supplier_volume": QuerySpec(
+        q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME
+    ),
+    "tpch_q6_forecast_revenue": QuerySpec(
+        q_forecast_revenue, SQL_FORECAST_REVENUE
+    ),
+    "tpch_q19_bracketed_revenue": QuerySpec(
+        q_bracketed_revenue, SQL_BRACKETED_REVENUE
     ),
     "events_json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
     "orders_cumulative_revenue": QuerySpec(

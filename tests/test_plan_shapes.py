@@ -674,3 +674,54 @@ def test_hard_negatives_broadcast_query_side(spark):
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, plan
     assert "CartesianProduct" not in tree, plan
     assert "SortMergeJoin" not in tree, plan
+
+
+def test_q6_full_pushdown_no_join(spark):
+    """TPC-H Q6 is the pushdown canary: the date range, discount band,
+    and quantity cap must ALL reach the parquet reader, and the plan
+    has no join — its entire cost is the scan."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["tpch_q6_forecast_revenue"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, (col, line)
+    assert "Join" not in plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+
+
+def test_q5_shuffle_hash_dims_broadcast_nation(spark):
+    """Q5's corpus-sized dims (customer, supplier) must join under
+    shuffle-hash — never broadcast, the test-scale trap — while the
+    25-row nation dim broadcasts; no CartesianProduct."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["tpch_q5_local_supplier_volume"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    tree = _plan(df).split("== Physical Plan ==")[-1].split("\n\n")[0]
+    assert tree.count("ShuffledHashJoin") >= 2, tree
+    assert "BroadcastHashJoin" in tree, tree  # the nation dim
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_q19_prefiltered_broadcast_build(spark):
+    """Q19's build side must be the bracket-PRE-FILTERED part dim (the
+    brand legs reach the part scan as pushed filters) under a broadcast
+    hash join carrying the OR-of-ANDs residual."""
+    from ocr_spark.functions.relational import QUERIES
+
+    df = QUERIES["tpch_q19_bracketed_revenue"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    part_pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert part_pushed, plan
